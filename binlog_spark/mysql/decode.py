@@ -1,0 +1,639 @@
+"""Sequential binlog v4 decoder — the engine's decode kernel.
+
+Semantics mirror the reference library exactly (same event taxonomy, same
+scalar-type bit-twiddling, same TableMap cache rules) but the implementation
+is a fresh Python/numpy one operating over whole byte chunks:
+
+  * event framing + demux     (decode mirror of /root/reference/binlog.go:3-112)
+  * header decode             (/root/reference/events.go:138-148)
+  * FDE + checksum inference  (/root/reference/events.go:162-179)
+  * TABLE_MAP + ext metadata  (/root/reference/rbr.go:45-233)
+  * ROWS v0/v1/v2 + rows      (/root/reference/rbr.go:246-350)
+  * 24 scalar types           (/root/reference/types.go:118-334)
+  * packed decimal            (/root/reference/types.go:368-463)
+  * CRC32 verification        (/root/reference/local.go:186-198)
+
+This module is deliberately dependency-light: it is shipped to executors and
+called from ``mapInPandas`` once per multi-megabyte chunk (thousands of
+events per call — never per-DataFrame-row Python).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json as _json
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import Any, Iterator
+
+from .. import constants as C
+
+_EPOCH = _dt.timezone.utc
+
+
+class BinlogError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# cursor over a chunk
+# ---------------------------------------------------------------------------
+
+
+class Cur:
+    """Bounded cursor over a memoryview (role of /root/reference/reader.go,
+    reimplemented as offset arithmetic over an in-memory chunk)."""
+
+    __slots__ = ("b", "pos", "end")
+
+    def __init__(self, b: memoryview, pos: int = 0, end: int | None = None) -> None:
+        self.b = b
+        self.pos = pos
+        self.end = len(b) if end is None else end
+
+    def more(self) -> bool:
+        return self.pos < self.end
+
+    def int1(self) -> int:
+        v = self.b[self.pos]
+        self.pos += 1
+        return v
+
+    def int2(self) -> int:
+        v = self.b[self.pos] | (self.b[self.pos + 1] << 8)
+        self.pos += 2
+        return v
+
+    def int3(self) -> int:
+        p = self.pos
+        self.pos += 3
+        return self.b[p] | (self.b[p + 1] << 8) | (self.b[p + 2] << 16)
+
+    def int4(self) -> int:
+        v = struct.unpack_from("<I", self.b, self.pos)[0]
+        self.pos += 4
+        return v
+
+    def int6(self) -> int:
+        p = self.pos
+        self.pos += 6
+        return int.from_bytes(self.b[p:p + 6], "little")
+
+    def int8(self) -> int:
+        v = struct.unpack_from("<Q", self.b, self.pos)[0]
+        self.pos += 8
+        return v
+
+    def int_fixed(self, n: int) -> int:
+        p = self.pos
+        self.pos += n
+        return int.from_bytes(self.b[p:p + n], "little")
+
+    def be(self, n: int) -> int:
+        p = self.pos
+        self.pos += n
+        return int.from_bytes(self.b[p:p + n], "big")
+
+    def lenenc(self) -> int:
+        """Length-encoded int (/root/reference/reader.go:242-262)."""
+        v = self.int1()
+        if v < 0xFB:
+            return v
+        if v == 0xFC:
+            return self.int2()
+        if v == 0xFD:
+            return self.int3()
+        if v == 0xFE:
+            return self.int8()
+        raise BinlogError(f"invalid lenenc prefix 0x{v:02x}")
+
+    def bytes(self, n: int) -> bytes:
+        p = self.pos
+        self.pos += n
+        if self.pos > self.end:
+            raise BinlogError("unexpected EOF")
+        return bytes(self.b[p:p + n])
+
+    def string(self, n: int) -> str:
+        return self.bytes(n).decode("utf-8", "replace")
+
+    def string_null(self) -> str:
+        p = self.pos
+        q = p
+        while self.b[q] != 0:
+            q += 1
+        self.pos = q + 1
+        return bytes(self.b[p:q]).decode("utf-8", "replace")
+
+    def bytes_eof(self) -> bytes:
+        p = self.pos
+        self.pos = self.end
+        return bytes(self.b[p:self.end])
+
+    def string_eof(self) -> str:
+        return self.bytes_eof().decode("utf-8", "replace")
+
+    def skip(self, n: int) -> None:
+        self.pos += n
+
+    def null_bitmap(self, ncol: int) -> bytes:
+        return self.bytes((ncol + 7) // 8)
+
+
+def bitmap_is_set(bm: bytes, i: int) -> bool:
+    """LSB-first (/root/reference/rbr.go:393-395)."""
+    return (bm[i // 8] >> (i % 8)) & 1 == 1
+
+
+# ---------------------------------------------------------------------------
+# schema structs
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Col:
+    ordinal: int
+    type: int
+    nullable: bool = False
+    unsigned: bool = False
+    meta: int = 0
+    charset: int = 0
+    name: str = ""
+    values: list[str] = field(default_factory=list)
+
+
+@dataclass
+class TableMap:
+    table_id: int
+    schema: str
+    table: str
+    columns: list[Col]
+
+
+@dataclass
+class Fde:
+    binlog_version: int = 4
+    server_version: str = ""
+    post_header_len: bytes = b""
+    checksum_len: int = C.CHECKSUM_LEN
+
+    def post_header(self, typ: int, default: int) -> int:
+        if len(self.post_header_len) >= typ:
+            return self.post_header_len[typ - 1]
+        return default
+
+
+#: assumed when a chunk does not start at a file head — valid for the v4 +
+#: CRC32 streams this engine stages (generator always emits v4/CRC32; a
+#: leading FDE, when present, overrides these).
+DEFAULT_FDE = Fde()
+
+
+# ---------------------------------------------------------------------------
+# scalar value decode (semantics of /root/reference/types.go:118-304)
+# ---------------------------------------------------------------------------
+
+
+def _bit_slice(v: int, bits: int, off: int, ln: int) -> int:
+    return (v >> (bits - (off + ln))) & ((1 << ln) - 1)
+
+
+def _frac(cur: Cur, meta: int) -> int:
+    n = (meta + 1) // 2
+    if n == 0:
+        return 0
+    return cur.be(n) * (100 ** (3 - n))
+
+
+def _frac_negative(cur: Cur, meta: int) -> int:
+    n = (meta + 1) // 2
+    if n == 0:
+        return 0
+    v = cur.be(n)
+    if v != 0:
+        bits = n * 8
+        v = (~v) & ((1 << bits) - 1)
+        v = (v & ~(1 << bits)) + 1
+    return v * (100 ** (3 - n))
+
+
+def decode_decimal(data: bytes, precision: int, scale: int) -> str:
+    """Packed decimal → exact-scale string
+    (semantics of /root/reference/types.go:395-463)."""
+    integral = precision - scale
+    ui, uf = integral // 9, scale // 9
+    ci, cf = integral - ui * 9, scale - uf * 9
+    comp = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
+
+    buf = bytearray(data)
+    neg = (buf[0] & 0x80) == 0
+    buf[0] ^= 0x80
+    if neg:
+        buf = bytearray(b ^ 0xFF for b in buf)
+
+    pos = 0
+    parts: list[str] = []
+    if comp[ci]:
+        parts.append(str(int.from_bytes(buf[:comp[ci]], "big")))
+        pos = comp[ci]
+    else:
+        parts.append("0")
+    for _ in range(ui):
+        parts.append("%09d" % int.from_bytes(buf[pos:pos + 4], "big"))
+        pos += 4
+    s = "".join(parts)
+    fparts: list[str] = []
+    for _ in range(uf):
+        fparts.append("%09d" % int.from_bytes(buf[pos:pos + 4], "big"))
+        pos += 4
+    if comp[cf]:
+        fparts.append("%0*d" % (cf, int.from_bytes(buf[pos:pos + comp[cf]], "big")))
+    f = "".join(fparts)
+
+    s = s.lstrip("0") or "0"
+    out = s + ("." + f if f else "")
+    return ("-" + out) if neg else out
+
+
+def decimal_size(precision: int, scale: int) -> int:
+    comp = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
+    integral = precision - scale
+    ui, uf = integral // 9, scale // 9
+    ci, cf = integral - ui * 9, scale - uf * 9
+    return ui * 4 + comp[ci] + uf * 4 + comp[cf]
+
+
+def decode_value(col: Col, cur: Cur) -> Any:
+    t = col.type
+    if t == C.TYPE_VARCHAR or t == C.TYPE_STRING:
+        size = cur.int1() if col.meta < 256 else cur.int2()
+        return cur.string(size)
+    if t == C.TYPE_TINY:
+        v = cur.int1()
+        return v if col.unsigned else (v - 256 if v >= 128 else v)
+    if t == C.TYPE_SHORT:
+        v = cur.int2()
+        return v if col.unsigned else (v - 65536 if v >= 32768 else v)
+    if t == C.TYPE_INT24:
+        v = cur.int3()
+        if col.unsigned:
+            return v
+        return v - (1 << 24) if v & 0x00800000 else v
+    if t == C.TYPE_LONG:
+        v = cur.int4()
+        return v if col.unsigned else (v - (1 << 32) if v >= (1 << 31) else v)
+    if t == C.TYPE_LONGLONG:
+        v = cur.int8()
+        return v if col.unsigned else (v - (1 << 64) if v >= (1 << 63) else v)
+    if t == C.TYPE_NEWDECIMAL:
+        precision, scale = col.meta & 0xFF, col.meta >> 8
+        return decode_decimal(cur.bytes(decimal_size(precision, scale)),
+                              precision, scale)
+    if t == C.TYPE_FLOAT:
+        return struct.unpack("<f", cur.bytes(4))[0]
+    if t == C.TYPE_DOUBLE:
+        return struct.unpack("<d", cur.bytes(8))[0]
+    if t == C.TYPE_ENUM:
+        if col.meta == 1:
+            idx = cur.int1()
+        elif col.meta == 2:
+            idx = cur.int2()
+        else:
+            raise BinlogError(f"invalid enum length {col.meta}")
+        return {"idx": idx,
+                "label": (col.values[idx - 1] if col.values and 0 < idx <= len(col.values)
+                          else ("" if col.values else None))}
+    if t == C.TYPE_SET:
+        n = col.meta
+        if n == 0 or n > 8:
+            raise BinlogError(f"invalid num bits in set {n}")
+        mask = cur.int_fixed(n)
+        members = [v for i, v in enumerate(col.values) if mask & (1 << i)] \
+            if col.values else None
+        return {"mask": mask, "members": members}
+    if t == C.TYPE_BIT:
+        nbits = ((col.meta >> 8) * 8) + (col.meta & 0xFF)
+        return cur.be((nbits + 7) // 8)
+    if t in (C.TYPE_BLOB, C.TYPE_GEOMETRY):
+        size = cur.int_fixed(col.meta)
+        v = cur.bytes(size)
+        if col.charset in C.BINARY_CHARSETS:
+            return v
+        return v.decode("utf-8", "replace")
+    if t == C.TYPE_JSON:
+        size = cur.int_fixed(col.meta)
+        buf = cur.bytes(size)
+        from .jsonb import decode_jsonb
+        return _json.dumps(decode_jsonb(buf), separators=(",", ":"),
+                           sort_keys=False)
+    if t == C.TYPE_DATE:
+        v = cur.int3()
+        if v == 0:
+            return None
+        return _dt.date(v // (16 * 32), v // 32 % 16, v % 32)
+    if t == C.TYPE_DATETIME2:
+        dtv = cur.be(5)
+        ym = _bit_slice(dtv, 40, 1, 17)
+        year, month = ym // 13, ym % 13
+        day = _bit_slice(dtv, 40, 18, 5)
+        hour = _bit_slice(dtv, 40, 23, 5)
+        minute = _bit_slice(dtv, 40, 28, 6)
+        sec = _bit_slice(dtv, 40, 34, 6)
+        frac = _frac(cur, col.meta)
+        return _dt.datetime(year, month, day, hour, minute, sec, frac)
+    if t == C.TYPE_TIMESTAMP2:
+        sec = cur.be(4)
+        frac = _frac(cur, col.meta)
+        return _dt.datetime.fromtimestamp(sec, tz=_EPOCH).replace(
+            tzinfo=None) + _dt.timedelta(microseconds=frac)
+    if t == C.TYPE_TIME2:
+        tv = cur.be(3)
+        sign = _bit_slice(tv, 24, 0, 1)
+        hour = _bit_slice(tv, 24, 2, 10)
+        minute = _bit_slice(tv, 24, 12, 6)
+        sec = _bit_slice(tv, 24, 18, 6)
+        if sign == 0:  # negative: per-field inversion
+            hour = (~hour) & ((1 << 10) - 1)
+            minute = (~minute) & ((1 << 6) - 1)
+            sec = (~sec) & ((1 << 6) - 1)
+            frac = _frac_negative(cur, col.meta)
+            if frac == 0 and sec < 59:  # the reference's "weird duration
+                sec += 1                # behavior" (/root/reference/types.go:279-281)
+        else:
+            frac = _frac(cur, col.meta)
+        micros = ((hour * 3600 + minute * 60 + sec) * 1_000_000) + frac
+        return -micros if sign == 0 else micros
+    if t == C.TYPE_YEAR:
+        v = cur.int1()
+        return 0 if v == 0 else 1900 + v
+    raise BinlogError(f"decode of mysql type 0x{t:02x} is not implemented")
+
+
+# ---------------------------------------------------------------------------
+# event decode
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class EventFrame:
+    timestamp: int
+    event_type: int
+    server_id: int
+    event_size: int
+    next_pos: int
+    flags: int
+    body: memoryview          # post-header + body, checksum excluded
+    crc_ok: bool
+    start: int                # offset of the event within the chunk
+
+
+def parse_fde(cur: Cur, event_size: int) -> Fde:
+    """(semantics of /root/reference/events.go:162-179)"""
+    fde = Fde()
+    fde.binlog_version = cur.int2()
+    sv = cur.bytes(50)
+    fde.server_version = sv.split(b"\x00", 1)[0].decode()
+    cur.int4()  # create timestamp
+    cur.int1()  # event header length
+    rest = cur.bytes_eof()  # table + checksum-type byte [+ trailing CRC]
+    fme_size = rest[C.FORMAT_DESCRIPTION_EVENT - 1]
+    fde.checksum_len = event_size - 19 - fme_size - 1
+    # the FDE's own post-header length is 57 + table length
+    fde.post_header_len = rest[:fme_size - 57]
+    return fde
+
+
+def parse_table_map(cur: Cur) -> TableMap:
+    """(semantics of /root/reference/rbr.go:45-153)"""
+    table_id = cur.int6()
+    cur.int2()  # flags
+    cur.int1()
+    schema = cur.string_null()
+    cur.int1()
+    table = cur.string_null()
+    ncol = cur.lenenc()
+    cols = [Col(i, cur.int1()) for i in range(ncol)]
+
+    cur.lenenc()  # meta block length
+    for c in cols:
+        t = c.type
+        if t in C.META_1BYTE_TYPES:
+            c.meta = cur.int1()
+        elif t in C.META_2BYTE_TYPES:
+            c.meta = cur.int2()
+        elif t == C.TYPE_STRING:
+            raw = cur.bytes(2)
+            c.meta = int.from_bytes(raw, "big")
+            if c.meta >= 256:
+                b0, b1 = raw[0], raw[1]
+                if b0 & 0x30 != 0x30:
+                    c.meta = b1 | (((b0 & 0x30) ^ 0x30) << 4)
+                    c.type = b0 | 0x30
+                else:
+                    c.meta = b1
+                    c.type = b0
+
+    nullable = cur.null_bitmap(ncol)
+    for i, c in enumerate(cols):
+        c.nullable = bitmap_is_set(nullable, i)
+
+    # extended metadata TLVs (/root/reference/rbr.go:99-150)
+    while cur.more():
+        typ = cur.int1()
+        size = cur.lenenc()
+        endp = cur.pos + size
+        if typ == 1:  # unsigned bitmap, MSB-first over numeric columns
+            bits = cur.bytes(size)
+            inum = 0
+            for c in cols:
+                if c.type in C.NUMERIC_TYPES:
+                    c.unsigned = (bits[inum // 8] >> (7 - inum % 8)) & 1 == 1
+                    inum += 1
+        elif typ == 2:  # default charset of string columns
+            def_charset = cur.lenenc()
+            while cur.pos < endp:
+                ord_ = cur.lenenc()
+                cols[ord_].charset = cur.lenenc()
+            for c in cols:
+                if c.type in C.STRING_TYPES and c.charset == 0:
+                    c.charset = def_charset
+        elif typ == 3:  # per-column charset of string columns
+            for c in cols:
+                if c.type in C.STRING_TYPES:
+                    c.charset = cur.lenenc()
+        elif typ == 4:  # column names
+            for c in cols:
+                c.name = cur.string(cur.lenenc())
+        elif typ in (5, 6):  # SET / ENUM value lists
+            want = C.TYPE_SET if typ == 5 else C.TYPE_ENUM
+            icol = 0
+            while cur.pos < endp:
+                nval = cur.lenenc()
+                vals = [cur.string(cur.lenenc()) for _ in range(nval)]
+                while cols[icol].type != want:
+                    icol += 1
+                cols[icol].values = vals
+                icol += 1
+        elif typ == 10:  # enum/set default charset
+            def_charset = cur.lenenc()
+            while cur.pos < endp:
+                ord_ = cur.lenenc()
+                cols[ord_].charset = cur.lenenc()
+            for c in cols:
+                if c.type in (C.TYPE_ENUM, C.TYPE_SET) and c.charset == 0:
+                    c.charset = def_charset
+        elif typ == 11:
+            for c in cols:
+                if c.type in (C.TYPE_ENUM, C.TYPE_SET):
+                    c.charset = cur.lenenc()
+        else:
+            cur.skip(size)
+    return TableMap(table_id, schema, table, cols)
+
+
+def parse_rows_event(cur: Cur, event_type: int, fde: Fde,
+                     tme_cache: dict[int, TableMap]):
+    """Parse a ROWS event fully: returns (table_map, rows) where each row is
+    ``(before_values | None, after_values | None)``
+    (semantics of /root/reference/rbr.go:246-350)."""
+    if fde.post_header(event_type, 8) == 6:
+        table_id = cur.int4()
+    else:
+        table_id = cur.int6()
+    dummy = table_id == 0x00FFFFFF
+    tme = None
+    if not dummy:
+        tme = tme_cache.get(table_id)
+        if tme is None:
+            raise BinlogError(f"no tableMapEvent for tableID {table_id}")
+    cur.int2()  # flags
+    if event_type in C.ROWS_EVENTS_V2:
+        extra = cur.int2()
+        cur.skip(extra - 2)
+    ncol = cur.lenenc()
+    if ncol == 0:
+        dummy = True
+    present0 = cur.null_bitmap(ncol)
+    is_update = event_type in C.UPDATE_ROWS_EVENTS
+    present1 = cur.null_bitmap(ncol) if is_update else None
+
+    rows: list[tuple[list | None, list | None]] = []
+    if dummy:
+        return tme, rows
+
+    cols0 = [tme.columns[i] for i in range(ncol) if bitmap_is_set(present0, i)]
+    cols1 = ([tme.columns[i] for i in range(ncol) if bitmap_is_set(present1, i)]
+             if is_update else None)
+
+    is_write = event_type in C.WRITE_ROWS_EVENTS
+
+    def read_image(cols: list[Col]) -> list:
+        nb = cur.null_bitmap(len(cols))
+        return [None if bitmap_is_set(nb, i) else decode_value(c, cur)
+                for i, c in enumerate(cols)]
+
+    while cur.more():
+        img0 = read_image(cols0)
+        if is_update:
+            img1 = read_image(cols1)
+            rows.append((img0, img1))       # (before, after)
+        elif is_write:
+            rows.append((None, img0))
+        else:
+            rows.append((img0, None))       # delete: WHERE image
+    return tme, rows
+
+
+def iter_frames(data: bytes | memoryview, *, has_magic: bool = False,
+                fde: Fde | None = None, verify_crc: bool = True
+                ) -> Iterator[tuple[EventFrame, Fde]]:
+    """Split a chunk into event frames (two-pass strategy from SURVEY §7:
+    fixed-width header scan, then per-event bounded views)."""
+    mv = memoryview(data)
+    pos = 4 if has_magic else 0
+    cur_fde = fde or DEFAULT_FDE
+    n = len(mv)
+    while pos + C.HEADER_SIZE <= n:
+        ts, typ = struct.unpack_from("<IB", mv, pos)
+        server_id, size, next_pos, flags = struct.unpack_from(
+            "<IIIH", mv, pos + 5)
+        if pos + size > n:
+            break  # partial trailing event (cf. /root/reference/local.go:137-140)
+        cksum_len = 0 if typ == C.FORMAT_DESCRIPTION_EVENT else cur_fde.checksum_len
+        body_end = pos + size - cksum_len
+        crc_ok = True
+        if verify_crc and cur_fde.checksum_len == 4 and typ != C.FORMAT_DESCRIPTION_EVENT:
+            want = struct.unpack_from("<I", mv, pos + size - 4)[0]
+            crc_ok = zlib.crc32(mv[pos:pos + size - 4]) == want
+        body = mv[pos + C.HEADER_SIZE:body_end]
+        if typ == C.FORMAT_DESCRIPTION_EVENT:
+            cur_fde = parse_fde(Cur(memoryview(bytes(body))), size)
+            # re-verify CRC with the inferred checksum length
+            if verify_crc and cur_fde.checksum_len == 4:
+                want = struct.unpack_from("<I", mv, pos + size - 4)[0]
+                crc_ok = zlib.crc32(mv[pos:pos + size - 4]) == want
+            body = mv[pos + C.HEADER_SIZE:pos + size - cur_fde.checksum_len]
+        yield EventFrame(ts, typ, server_id, size, next_pos, flags,
+                         body, crc_ok, pos), cur_fde
+        pos += size
+
+
+@dataclass
+class ChangeRecord:
+    """Canonical decoded CDC record (FIXTURES.md §3 shape)."""
+    op: str                       # I / U / D
+    table_schema: str
+    table_name: str
+    before: list | None
+    after: list | None
+    gtid: str | None
+    seq_in_tx: int
+    log_file: str
+    log_pos: int
+    ts: int
+    crc_ok: bool
+
+
+def decode_chunk(data: bytes | memoryview, log_file: str, *,
+                 has_magic: bool = False, fde: Fde | None = None,
+                 verify_crc: bool = True) -> list[ChangeRecord]:
+    """Decode one transaction-aligned chunk into change records.
+
+    The TableMap cache is chunk-local: TABLE_MAP precedes its rows-events
+    within the same transaction (/root/reference/rbr.go:27-36), and chunks
+    are cut at transaction boundaries, so per-chunk decode is the engine's
+    parallelization theorem (SURVEY §4).
+    """
+    tme_cache: dict[int, TableMap] = {}
+    out: list[ChangeRecord] = []
+    gtid: str | None = None
+    seq = 0
+    for fr, fde_now in iter_frames(data, has_magic=has_magic, fde=fde,
+                                   verify_crc=verify_crc):
+        t = fr.event_type
+        if t == C.GTID_EVENT or t == C.ANONYMOUS_GTID_EVENT:
+            cur = Cur(fr.body)
+            cur.int1()  # flags
+            sid = cur.bytes(16)
+            gno = cur.int8()
+            import uuid as _uuid
+            gtid = f"{_uuid.UUID(bytes=sid)}:{gno}"
+            seq = 0
+        elif t == C.TABLE_MAP_EVENT:
+            tme = parse_table_map(Cur(fr.body))
+            tme_cache[tme.table_id] = tme
+        elif t in C.ROWS_EVENTS:
+            tme, rows = parse_rows_event(Cur(fr.body), t, fde_now, tme_cache)
+            if tme is None:
+                continue
+            op = ("I" if t in C.WRITE_ROWS_EVENTS
+                  else "U" if t in C.UPDATE_ROWS_EVENTS else "D")
+            for before, after in rows:
+                out.append(ChangeRecord(
+                    op, tme.schema, tme.table, before, after, gtid, seq,
+                    log_file, fr.next_pos, fr.timestamp, fr.crc_ok))
+                seq += 1
+        elif t == C.ROTATE_EVENT:
+            tme_cache.clear()  # (/root/reference/binlog.go:42)
+    return out

@@ -1,0 +1,323 @@
+"""Deterministic binlog fixture generator.
+
+Plays the role of the MySQL server in the reference's round-trip tests
+(/root/reference/types_test.go:284-354): given a seeded change script over
+the ``(repo, path, commit, lang, content)`` table, emits a directory of
+valid binlog v4 files chained exactly like the reference's dump directory
+(``.next`` pointer files, /root/reference/local.go:35-73), plus a chunk
+manifest whose chunk boundaries are aligned to transaction boundaries.
+
+Event sequence per transaction (mirrors RBR logging):
+    GTID -> QUERY(BEGIN) -> [TABLE_MAP -> ROWS_EVENT]... -> XID
+with FORMAT_DESCRIPTION at each file start and ROTATE at each file end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+import struct
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Iterator, Sequence
+
+from .. import constants as C
+from . import encode as E
+
+SCHEMA = "lake"
+TABLE = "repo_files"
+
+LANGS = ["py", "go", "rs", "js", "ts", "java", "c", "cpp", "rb", "sh",
+         "sql", "md", "yaml", "toml", "html", "css", "scala", "kt", "swift", "php"]
+EXT2LANG = {l: l for l in LANGS}
+
+_WORDS = ("fn def class import return if else for while match struct enum "
+          "let const var async await spawn select join map filter reduce "
+          "table row column index commit merge apply delta state offset").split()
+
+
+@dataclass
+class Change:
+    """One row-change in the script: op in {I, U, D}."""
+    op: str
+    repo: str
+    path: str
+    commit: str | None = None
+    lang: str | None = None
+    content: str | None = None
+
+
+@dataclass
+class GenConfig:
+    n_changes: int = 10_000
+    n_repos: int = 50
+    seed: int = 42
+    rows_per_event: int = 64
+    events_per_tx: int = 4          # rows-events per transaction
+    max_file_bytes: int = 4 << 20   # rotate when file exceeds this
+    server_id: int = 1
+    zipf_a: float = 1.3             # repo popularity skew
+    content_min: int = 10
+    content_max: int = 4096
+    base_ts: int = 1_700_000_000
+
+
+class ChangeScript:
+    """Seeded generator of a change script with Zipf-skewed repo popularity.
+
+    Maintains live-key state so UPDATE/DELETE always reference existing
+    (repo, path) keys — the invariant MySQL RBR guarantees (a before-image
+    always matches a live row).
+    """
+
+    def __init__(self, cfg: GenConfig) -> None:
+        self.cfg = cfg
+        self.rnd = random.Random(cfg.seed)
+        self.live: dict[tuple[str, str], tuple[str, str, str]] = {}
+        self.live_keys: list[tuple[str, str]] = []
+        self._commit_no = 0
+        # precompute Zipf repo weights
+        self.repos = [f"org{i % 7}/repo{i}" for i in range(cfg.n_repos)]
+        self.weights = [1.0 / (i + 1) ** cfg.zipf_a for i in range(cfg.n_repos)]
+
+    def _content(self) -> str:
+        n = self.rnd.randint(self.cfg.content_min, self.cfg.content_max)
+        words = []
+        size = 0
+        while size < n:
+            w = self.rnd.choice(_WORDS)
+            words.append(w)
+            size += len(w) + 1
+        return " ".join(words)
+
+    def _commit(self) -> str:
+        self._commit_no += 1
+        return hashlib.sha1(
+            f"c{self.cfg.seed}:{self._commit_no}".encode()).hexdigest()
+
+    def _new_key(self) -> tuple[str, str]:
+        repo = self.rnd.choices(self.repos, weights=self.weights)[0]
+        depth = self.rnd.randint(1, 5)
+        lang = self.rnd.choice(LANGS)
+        parts = [self.rnd.choice(_WORDS) for _ in range(depth)]
+        path = "/".join(parts) + f"_{self.rnd.randint(0, 10**6)}.{lang}"
+        return repo, path
+
+    def __iter__(self) -> Iterator[Change]:
+        for _ in range(self.cfg.n_changes):
+            r = self.rnd.random()
+            if not self.live_keys or r < 0.55:
+                repo, path = self._new_key()
+                while (repo, path) in self.live:
+                    repo, path = self._new_key()
+                lang = EXT2LANG.get(path.rsplit(".", 1)[-1])
+                row = (self._commit(), lang, self._content())
+                self.live[(repo, path)] = row
+                self.live_keys.append((repo, path))
+                yield Change("I", repo, path, *row)
+            elif r < 0.85:
+                repo, path = self.rnd.choice(self.live_keys)
+                old = self.live[(repo, path)]
+                row = (self._commit(), old[1], self._content())
+                self.live[(repo, path)] = row
+                yield Change("U", repo, path, *row)
+            else:
+                i = self.rnd.randrange(len(self.live_keys))
+                repo, path = self.live_keys[i]
+                self.live_keys[i] = self.live_keys[-1]
+                self.live_keys.pop()
+                del self.live[(repo, path)]
+                yield Change("D", repo, path)
+
+    def final_state(self) -> dict[tuple[str, str], tuple[str, str, str]]:
+        return dict(self.live)
+
+
+@dataclass
+class Manifest:
+    """Generator output: ordered files + transaction-aligned chunk spans."""
+    files: list[str] = field(default_factory=list)
+    # (log_file, chunk_off, chunk_len)
+    chunks: list[tuple[str, int, int]] = field(default_factory=list)
+    n_changes: int = 0
+    n_transactions: int = 0
+
+
+class BinlogWriter:
+    """Streams framed events into rotated files under ``out_dir``.
+
+    File chaining mirrors the reference's dump dir: a ``.next`` file points
+    at the first binlog, ``<file>.next`` at its successor
+    (/root/reference/local.go:35-73).
+    """
+
+    def __init__(self, out_dir: str, cfg: GenConfig,
+                 chunk_target: int = 1 << 20) -> None:
+        self.dir = out_dir
+        self.cfg = cfg
+        self.chunk_target = chunk_target
+        self.manifest = Manifest()
+        self.file_no = 0
+        self.fh = None
+        self.pos = 0
+        self.ts = cfg.base_ts
+        self._chunk_start = 0
+        os.makedirs(out_dir, exist_ok=True)
+
+    @property
+    def cur_name(self) -> str:
+        return f"binlog.{self.file_no:06d}"
+
+    def _open_file(self) -> None:
+        self.file_no += 1
+        name = self.cur_name
+        prev = self.manifest.files[-1] if self.manifest.files else None
+        self.manifest.files.append(name)
+        self.fh = open(os.path.join(self.dir, name), "wb")
+        self.fh.write(C.MAGIC)
+        self.pos = 4
+        self._chunk_start = 4
+        # .next chain
+        ptr = os.path.join(self.dir, ".next" if prev is None else prev + ".next")
+        with open(ptr, "w") as f:
+            f.write(name)
+        self._emit(C.FORMAT_DESCRIPTION_EVENT, E.fde_body())
+
+    def _emit(self, event_type: int, body: bytes, flags: int = 0) -> None:
+        size = C.HEADER_SIZE + len(body) + C.CHECKSUM_LEN
+        ev = E.frame_event(event_type, body, timestamp=self.ts,
+                           server_id=self.cfg.server_id,
+                           next_pos=self.pos + size, flags=flags)
+        self.fh.write(ev)
+        self.pos += size
+
+    def _cut_chunk(self) -> None:
+        if self.pos > self._chunk_start:
+            self.manifest.chunks.append(
+                (self.cur_name, self._chunk_start, self.pos - self._chunk_start))
+            self._chunk_start = self.pos
+
+    def _maybe_rotate(self) -> None:
+        if self.pos >= self.cfg.max_file_bytes:
+            nxt = f"binlog.{self.file_no + 1:06d}"
+            self._emit(C.ROTATE_EVENT, E.rotate_body(nxt, 4))
+            self._cut_chunk()
+            self.fh.close()
+            self._open_file()
+
+    def write_transaction(self, sid: bytes, gno: int,
+                          stmts: Sequence[tuple[int, Sequence[Sequence[Any]],
+                                                Sequence[Sequence[Any]] | None]],
+                          columns: Sequence[E.ColumnDef],
+                          table_id: int = 100) -> None:
+        """stmts: list of (rows_event_type, rows, before_rows)."""
+        self.ts += 1
+        self._emit(C.GTID_EVENT, E.gtid_body(sid, gno))
+        self._emit(C.QUERY_EVENT, E.query_body(SCHEMA, "BEGIN"))
+        for ev_type, rows, before in stmts:
+            self._emit(C.TABLE_MAP_EVENT,
+                       E.table_map_body(table_id, SCHEMA, TABLE, columns))
+            self._emit(ev_type, E.rows_body(ev_type, table_id, columns, rows, before))
+        self._emit(C.XID_EVENT, E.xid_body(gno))
+        self.manifest.n_transactions += 1
+        # chunk cut at transaction boundary once target size reached
+        if self.pos - self._chunk_start >= self.chunk_target:
+            self._cut_chunk()
+        self._maybe_rotate()
+
+    def close(self) -> None:
+        self._cut_chunk()
+        if self.fh:
+            self.fh.close()
+
+
+def _row(ch: Change) -> tuple:
+    return (ch.repo, ch.path, ch.commit, ch.lang, ch.content)
+
+
+def generate(out_dir: str, cfg: GenConfig | None = None,
+             chunk_target: int = 1 << 20) -> Manifest:
+    """Generate a binlog dump dir + manifest from a seeded change script.
+
+    Groups the script into transactions of ``events_per_tx`` rows-events of
+    up to ``rows_per_event`` rows each, UPDATEs carrying before-images from
+    the live state (so the stream is a faithful RBR log).
+    """
+    cfg = cfg or GenConfig()
+    script = ChangeScript(cfg)
+    rnd = random.Random(cfg.seed + 1)
+    sid = uuid.UUID(int=rnd.getrandbits(128)).bytes
+    w = BinlogWriter(out_dir, cfg, chunk_target)
+    w._open_file()
+
+    cols = E.REPO_FILES_COLUMNS
+    gno = 0
+    stmts: list[tuple[int, list, list | None]] = []
+    # current same-op run, flushed into one rows-event on op switch or when
+    # full — preserves script order within a transaction (MySQL groups
+    # consecutive same-statement rows into one event the same way).
+    cur_op: str | None = None
+    rows: list = []
+    before_rows: list = []
+    before_state: dict[tuple[str, str], tuple] = {}
+    _EV = {"I": C.WRITE_ROWS_EVENTv2, "U": C.UPDATE_ROWS_EVENTv2,
+           "D": C.DELETE_ROWS_EVENTv2}
+    n_ev = 0
+
+    def flush_event() -> None:
+        nonlocal cur_op, rows, before_rows, n_ev
+        if cur_op is None or not rows:
+            return
+        stmts.append((_EV[cur_op], rows,
+                      before_rows if cur_op == "U" else None))
+        rows, before_rows = [], []
+        cur_op = None
+        n_ev += 1
+
+    def flush_tx() -> None:
+        nonlocal gno, stmts, n_ev
+        flush_event()
+        if stmts:
+            gno += 1
+            w.write_transaction(sid, gno, stmts, cols)
+            stmts = []
+        n_ev = 0
+
+    for ch in script:
+        key = (ch.repo, ch.path)
+        if cur_op is not None and (ch.op != cur_op or len(rows) >= cfg.rows_per_event):
+            flush_event()
+            if n_ev >= cfg.events_per_tx:
+                flush_tx()
+        cur_op = ch.op
+        if ch.op == "I":
+            rows.append(_row(ch))
+            before_state[key] = _row(ch)
+        elif ch.op == "U":
+            before_rows.append(before_state[key])
+            rows.append(_row(ch))
+            before_state[key] = _row(ch)
+        else:  # delete carries the WHERE image (/root/reference/doc.go:53-65)
+            rows.append(before_state.pop(key))
+        w.manifest.n_changes += 1
+    flush_tx()
+    w._emit(C.ROTATE_EVENT, E.rotate_body(f"binlog.{w.file_no + 1:06d}", 4))
+    w.close()
+
+    # persist manifest + golden final state for tests
+    import json
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump({
+            "files": w.manifest.files,
+            "chunks": w.manifest.chunks,
+            "n_changes": w.manifest.n_changes,
+            "n_transactions": w.manifest.n_transactions,
+        }, f)
+    final = script.final_state()
+    with open(os.path.join(out_dir, "final_state.jsonl"), "w") as f:
+        for (repo, path), (commit, lang, content) in sorted(final.items()):
+            json.dump({"repo": repo, "path": path, "commit": commit,
+                       "lang": lang, "content": content}, f)
+            f.write("\n")
+    return w.manifest

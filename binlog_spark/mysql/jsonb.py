@@ -1,0 +1,183 @@
+"""MySQL binary JSON (JSONB) decoder.
+
+Decodes the storage format MySQL uses for JSON columns in the binlog
+(public format; decode semantics mirror /root/reference/json.go:13-300,
+reimplemented from scratch in Python).  Returns plain Python values
+(dict / list / str / int / float / bool / None); opaque custom types
+(decimal, date, time, datetime) are rendered like the reference renders
+them (decimal → exact string, temporals → formatted strings).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import struct
+
+from .decode import BinlogError, decode_decimal, decimal_size
+
+# type markers (json.go:15-30 equivalents, per the public format)
+_SMALL_OBJECT = 0x00
+_LARGE_OBJECT = 0x01
+_SMALL_ARRAY = 0x02
+_LARGE_ARRAY = 0x03
+_LITERAL = 0x04
+_INT16 = 0x05
+_UINT16 = 0x06
+_INT32 = 0x07
+_UINT32 = 0x08
+_INT64 = 0x09
+_UINT64 = 0x0A
+_DOUBLE = 0x0B
+_STRING = 0x0C
+_CUSTOM = 0x0F
+
+_LIT_NULL = 0x00
+_LIT_TRUE = 0x01
+_LIT_FALSE = 0x02
+
+# MySQL type codes for opaque values
+_T_NEWDECIMAL = 0xF6
+_T_DATE = 0x0A
+_T_TIME = 0x0B
+_T_DATETIME = 0x0C
+_T_TIMESTAMP = 0x07
+
+
+def decode_jsonb(buf: bytes) -> object:
+    if len(buf) == 0:
+        return None
+    return _value(buf[0], buf[1:])
+
+
+def _value(typ: int, data: bytes) -> object:
+    if typ in (_SMALL_OBJECT, _LARGE_OBJECT):
+        return _composite(data, large=typ == _LARGE_OBJECT, is_object=True)
+    if typ in (_SMALL_ARRAY, _LARGE_ARRAY):
+        return _composite(data, large=typ == _LARGE_ARRAY, is_object=False)
+    if typ == _LITERAL:
+        return _literal(data[0])
+    if typ == _INT16:
+        return struct.unpack_from("<h", data)[0]
+    if typ == _UINT16:
+        return struct.unpack_from("<H", data)[0]
+    if typ == _INT32:
+        return struct.unpack_from("<i", data)[0]
+    if typ == _UINT32:
+        return struct.unpack_from("<I", data)[0]
+    if typ == _INT64:
+        return struct.unpack_from("<q", data)[0]
+    if typ == _UINT64:
+        return struct.unpack_from("<Q", data)[0]
+    if typ == _DOUBLE:
+        return struct.unpack_from("<d", data)[0]
+    if typ == _STRING:
+        n, off = _varlen(data)
+        return data[off:off + n].decode("utf-8", "replace")
+    if typ == _CUSTOM:
+        return _custom(data)
+    raise BinlogError(f"jsonb: invalid type marker 0x{typ:02x}")
+
+
+def _literal(b: int) -> object:
+    if b == _LIT_NULL:
+        return None
+    if b == _LIT_TRUE:
+        return True
+    if b == _LIT_FALSE:
+        return False
+    raise BinlogError(f"jsonb: invalid literal 0x{b:02x}")
+
+
+def _varlen(data: bytes) -> tuple[int, int]:
+    """7-bit continuation length (json.go:205-231 semantics)."""
+    length = 0
+    for i in range(5):
+        b = data[i]
+        length |= (b & 0x7F) << (7 * i)
+        if b & 0x80 == 0:
+            return length, i + 1
+    raise BinlogError("jsonb: invalid data length")
+
+
+def _composite(data: bytes, *, large: bool, is_object: bool) -> object:
+    w = 4 if large else 2
+    fmt = "<I" if large else "<H"
+
+    def u(off: int) -> int:
+        return struct.unpack_from(fmt, data, off)[0]
+
+    count = u(0)
+    # size = u(w)  # total bytes, unused
+    off = 2 * w
+    keys: list[str] = []
+    if is_object:
+        for i in range(count):
+            koff = u(off + i * (w + 2))
+            klen = struct.unpack_from("<H", data, off + i * (w + 2) + w)[0]
+            keys.append(data[koff:koff + klen].decode("utf-8", "replace"))
+        off += count * (w + 2)
+
+    values: list[object] = []
+    for i in range(count):
+        vtyp = data[off + i * (w + 1)]
+        ventry = off + i * (w + 1) + 1
+        if vtyp in (_LITERAL, _INT16, _UINT16) or \
+                (not large and vtyp in ()) :
+            # inlined small scalars
+            values.append(_value(vtyp, data[ventry:ventry + w]))
+        elif large and vtyp in (_INT32, _UINT32):
+            values.append(_value(vtyp, data[ventry:ventry + w]))
+        else:
+            voff = struct.unpack_from(fmt, data, ventry)[0]
+            values.append(_value(vtyp, data[voff:]))
+    if is_object:
+        return dict(zip(keys, values))
+    return values
+
+
+def _custom(data: bytes) -> object:
+    """Opaque values: MySQL re-packs decimal/date/time/datetime
+    (json.go:233-300 semantics)."""
+    typ = data[0]
+    n, off = _varlen(data[1:])
+    payload = data[1 + off:1 + off + n]
+    if typ == _T_NEWDECIMAL:
+        precision, scale = payload[0], payload[1]
+        return decode_decimal(payload[2:2 + decimal_size(precision, scale)],
+                              precision, scale)
+    if typ == _T_DATE:
+        v = int.from_bytes(payload[:8], "little")
+        raw = v >> 24
+        day = raw % 32
+        month = (raw >> 5) % 16
+        year = raw >> 9
+        return f"{year:04d}-{month:02d}-{day:02d}"
+    if typ in (_T_DATETIME, _T_TIMESTAMP):
+        v = int.from_bytes(payload[:8], "little")
+        micros = v % (1 << 24)
+        raw = v >> 24
+        sec = raw % 64
+        minute = (raw >> 6) % 64
+        hour = (raw >> 12) % 32
+        day = (raw >> 17) % 32
+        month = (raw >> 22) % 16
+        year = raw >> 26
+        s = f"{year:04d}-{month:02d}-{day:02d} {hour:02d}:{minute:02d}:{sec:02d}"
+        if micros:
+            s += f".{micros:06d}"
+        return s
+    if typ == _T_TIME:
+        v = int.from_bytes(payload[:8], "little", signed=True)
+        neg = v < 0
+        v = abs(v)
+        micros = v % (1 << 24)
+        raw = v >> 24
+        sec = raw % 64
+        minute = (raw >> 6) % 64
+        hour = (raw >> 12)
+        s = f"{hour:02d}:{minute:02d}:{sec:02d}"
+        if micros:
+            s += f".{micros:06d}"
+        return ("-" if neg else "") + s
+    # unknown opaque type: hex string
+    return payload.hex()

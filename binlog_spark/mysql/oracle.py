@@ -1,0 +1,86 @@
+"""Sequential oracle: decode a binlog dump dir and apply it in order.
+
+Plays the role MySQL itself plays in the reference's round-trip tests
+(/root/reference/types_test.go:284-328): a trusted, single-threaded
+implementation whose final state the distributed engine must reproduce
+byte-for-byte (per-row sha256(content), BASELINE.json:15).
+
+Reads the dump directory in `.next`-chain order
+(/root/reference/local.go:35-55) and applies every change record strictly
+in log order — insert upserts, update rewrites, delete removes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Iterator
+
+from .decode import ChangeRecord, decode_chunk
+
+REPO_COLS = ("repo", "path", "commit", "lang", "content")
+
+
+def list_files(dump_dir: str) -> list[str]:
+    """Follow the `.next` pointer chain (/root/reference/local.go:35-55)."""
+    out = []
+    ptr = os.path.join(dump_dir, ".next")
+    while os.path.exists(ptr):
+        with open(ptr) as f:
+            name = f.read().strip()
+        if not os.path.exists(os.path.join(dump_dir, name)):
+            break
+        out.append(name)
+        ptr = os.path.join(dump_dir, name + ".next")
+    return out
+
+
+def iter_change_records(dump_dir: str, verify_crc: bool = True
+                        ) -> Iterator[ChangeRecord]:
+    for name in list_files(dump_dir):
+        with open(os.path.join(dump_dir, name), "rb") as f:
+            data = f.read()
+        yield from decode_chunk(data, name, has_magic=True,
+                                verify_crc=verify_crc)
+
+
+def apply_records(records: Iterator[ChangeRecord],
+                  dedup_gtid: bool = True) -> dict[tuple[str, str], dict]:
+    """Strict in-order apply with per-(gtid, seq) dedup — the semantics the
+    distributed engine must reproduce."""
+    state: dict[tuple[str, str], dict] = {}
+    seen: set[tuple[str, int]] = set()
+    for r in records:
+        if dedup_gtid and r.gtid is not None:
+            k = (r.gtid, r.seq_in_tx)
+            if k in seen:
+                continue
+            seen.add(k)
+        if r.op in ("I", "U"):
+            row = dict(zip(REPO_COLS, r.after))
+            state[(row["repo"], row["path"])] = row
+        else:
+            row = dict(zip(REPO_COLS, r.before))
+            state.pop((row["repo"], row["path"]), None)
+    return state
+
+
+def final_state(dump_dir: str) -> dict[tuple[str, str], dict]:
+    return apply_records(iter_change_records(dump_dir))
+
+
+def state_digest(state: dict[tuple[str, str], dict]) -> str:
+    """Order-insensitive digest of the final state incl. per-row
+    sha256(content) — the cross-implementation equality check."""
+    h = hashlib.sha256()
+    for key in sorted(state):
+        row = state[key]
+        content = row.get("content") or ""
+        line = json.dumps(
+            [row["repo"], row["path"], row["commit"], row.get("lang"),
+             hashlib.sha256(content.encode()).hexdigest()],
+            separators=(",", ":"))
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()

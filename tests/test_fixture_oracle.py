@@ -1,0 +1,116 @@
+"""Generator ↔ oracle round trip: the truth-defining layer (SURVEY §5).
+
+The generator plays MySQL; the oracle plays the reference library.  Their
+agreement on final state (per-row content, digest) is the base invariant
+every distributed path must also satisfy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from binlog_spark import constants as C
+from binlog_spark.mysql import gen, oracle
+from binlog_spark.mysql.decode import decode_chunk, iter_frames
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("binlog_fix"))
+    gen.generate(d, gen.GenConfig(n_changes=5000, max_file_bytes=1 << 20),
+                 chunk_target=128 * 1024)
+    return d
+
+
+def load_golden(d):
+    out = {}
+    with open(os.path.join(d, "final_state.jsonl")) as f:
+        for line in f:
+            r = json.loads(line)
+            out[(r["repo"], r["path"])] = r
+    return out
+
+
+def test_final_state_matches_golden(fixture_dir):
+    state = oracle.final_state(fixture_dir)
+    golden = load_golden(fixture_dir)
+    assert set(state) == set(golden)
+    for k, row in state.items():
+        g = golden[k]
+        assert row["commit"] == g["commit"]
+        assert row["lang"] == g["lang"]
+        assert row["content"] == g["content"]
+
+
+def test_next_chain_order(fixture_dir):
+    files = oracle.list_files(fixture_dir)
+    assert files == sorted(files)
+    assert len(files) >= 1
+    # every listed file starts with the 4-byte magic
+    for name in files:
+        with open(os.path.join(fixture_dir, name), "rb") as f:
+            assert f.read(4) == C.MAGIC
+
+
+def test_crc_verified_everywhere(fixture_dir):
+    for name in oracle.list_files(fixture_dir):
+        with open(os.path.join(fixture_dir, name), "rb") as f:
+            data = f.read()
+        for fr, _fde in iter_frames(data, has_magic=True):
+            assert fr.crc_ok, f"CRC mismatch in {name} at {fr.start}"
+
+
+def test_corrupt_event_detected(fixture_dir):
+    name = oracle.list_files(fixture_dir)[0]
+    with open(os.path.join(fixture_dir, name), "rb") as f:
+        data = bytearray(f.read())
+    # flip a byte inside some event body past the FDE
+    data[600] ^= 0xFF
+    frames = list(iter_frames(bytes(data), has_magic=True))
+    assert any(not fr.crc_ok for fr, _ in frames)
+
+
+def test_chunk_decode_matches_whole_file(fixture_dir):
+    """Chunks cut at transaction boundaries decode to the same records as
+    the whole file — the parallelization theorem (SURVEY §4)."""
+    with open(os.path.join(fixture_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    name = manifest["files"][0]
+    with open(os.path.join(fixture_dir, name), "rb") as f:
+        data = f.read()
+    whole = decode_chunk(data, name, has_magic=True)
+    chunked = []
+    for (fn, off, ln) in manifest["chunks"]:
+        if fn != name:
+            continue
+        chunked.extend(decode_chunk(data[off:off + ln], name))
+    assert len(whole) == len(chunked)
+    for a, b in zip(whole, chunked):
+        assert (a.op, a.before, a.after, a.gtid, a.seq_in_tx, a.log_pos) == \
+               (b.op, b.before, b.after, b.gtid, b.seq_in_tx, b.log_pos)
+
+
+def test_gtid_and_offsets_present(fixture_dir):
+    recs = list(oracle.iter_change_records(fixture_dir))
+    assert all(r.gtid for r in recs)
+    assert all(r.log_pos > 0 for r in recs)
+    # log order is non-decreasing per file
+    by_file: dict[str, int] = {}
+    for r in recs:
+        assert r.log_pos >= by_file.get(r.log_file, 0)
+        by_file[r.log_file] = r.log_pos
+
+
+def test_idempotent_replay(fixture_dir):
+    """Replaying the stream twice (dup records) with GTID dedup yields the
+    same state — the exactly-once invariant at oracle level."""
+    recs = list(oracle.iter_change_records(fixture_dir))
+    once = oracle.apply_records(iter(recs))
+    twice = oracle.apply_records(iter(recs + recs))
+    assert oracle.state_digest(once) == oracle.state_digest(twice)

@@ -1,0 +1,205 @@
+"""Per-type encode/decode round-trip matrix.
+
+Mirrors the reference's round-trip strategy (/root/reference/types_test.go:
+16-282): for each (mysql type, literal, expected decoded value) case, build a
+one-column table, encode a WRITE_ROWS fixture, decode, compare.  The MySQL
+server's role is played by binlog_spark.mysql.encode.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from binlog_spark import constants as C
+from binlog_spark.mysql import encode as E
+from binlog_spark.mysql.decode import Col, Cur, decode_value
+
+
+def roundtrip(coldef: E.ColumnDef, value):
+    data = E.encode_value(coldef, value)
+    col = Col(0, coldef.type, nullable=coldef.nullable,
+              unsigned=coldef.unsigned, meta=coldef.meta,
+              charset=coldef.charset, values=list(coldef.values))
+    return decode_value(col, Cur(memoryview(data)))
+
+
+def _c(typ, meta=0, unsigned=False, charset=0, values=()):
+    return E.ColumnDef("value", typ, meta=meta, unsigned=unsigned,
+                       charset=charset, values=values)
+
+
+INT_CASES = [
+    # (type, unsigned, value) — min/max per width, mirroring types_test.go:77-106
+    (C.TYPE_TINY, False, -128), (C.TYPE_TINY, False, 127), (C.TYPE_TINY, False, -23),
+    (C.TYPE_TINY, True, 0), (C.TYPE_TINY, True, 255), (C.TYPE_TINY, True, 23),
+    (C.TYPE_SHORT, False, -32768), (C.TYPE_SHORT, False, 32767),
+    (C.TYPE_SHORT, True, 0), (C.TYPE_SHORT, True, 65535),
+    (C.TYPE_INT24, False, -(1 << 23)), (C.TYPE_INT24, False, (1 << 23) - 1),
+    (C.TYPE_INT24, True, 0), (C.TYPE_INT24, True, (1 << 24) - 1),
+    (C.TYPE_LONG, False, -(1 << 31)), (C.TYPE_LONG, False, (1 << 31) - 1),
+    (C.TYPE_LONG, True, 0), (C.TYPE_LONG, True, (1 << 32) - 1),
+    (C.TYPE_LONGLONG, False, -(1 << 63)), (C.TYPE_LONGLONG, False, (1 << 63) - 1),
+    (C.TYPE_LONGLONG, True, 0), (C.TYPE_LONGLONG, True, (1 << 64) - 1),
+]
+
+
+@pytest.mark.parametrize("typ,unsigned,value", INT_CASES)
+def test_ints(typ, unsigned, value):
+    assert roundtrip(_c(typ, unsigned=unsigned), value) == value
+
+
+def test_float_double():
+    assert abs(roundtrip(_c(C.TYPE_FLOAT), 1.2345) - 1.2345) < 1e-6
+    assert roundtrip(_c(C.TYPE_DOUBLE), -1.2345) == -1.2345
+
+
+DECIMAL_CASES = [
+    # exact-scale strings, mirroring types_test.go decimal cases
+    ((6, 3), "12.450", "12.450"),
+    ((6, 3), "-12.450", "-12.450"),
+    ((6, 0), "12345", "12345"),
+    ((6, 0), "-12345", "-12345"),
+    ((30, 20), "12.45", "12.45000000000000000000"),
+    ((30, 20), "-12.45", "-12.45000000000000000000"),
+    ((10, 2), "0", "0.00"),
+    ((18, 9), "123456789.987654321", "123456789.987654321"),
+]
+
+
+@pytest.mark.parametrize("ps,literal,expect", DECIMAL_CASES)
+def test_decimal(ps, literal, expect):
+    precision, scale = ps
+    meta = precision | (scale << 8)
+    assert roundtrip(_c(C.TYPE_NEWDECIMAL, meta=meta), literal) == expect
+
+
+STRING_CASES = ["", "abc", "a" * 62, "héllo wörld", "a" * 300, "x" * 16383]
+
+
+@pytest.mark.parametrize("s", STRING_CASES)
+def test_varchar(s):
+    meta = max(len(s.encode()), 1)
+    assert roundtrip(_c(C.TYPE_VARCHAR, meta=meta), s) == s
+
+
+def test_enum():
+    vals = ["a", "b", "c", "d", "e"]
+    got = roundtrip(_c(C.TYPE_ENUM, meta=1, values=vals), 1)
+    assert got == {"idx": 1, "label": "a"}
+    got = roundtrip(_c(C.TYPE_ENUM, meta=1, values=vals), 5)
+    assert got == {"idx": 5, "label": "e"}
+    # invalid value -> 0 -> empty label (types_test.go enum invalid case)
+    got = roundtrip(_c(C.TYPE_ENUM, meta=1, values=vals), 0)
+    assert got == {"idx": 0, "label": ""}
+    # 2-byte index (300-value enum)
+    vals300 = [f"v{i}" for i in range(1, 301)]
+    got = roundtrip(_c(C.TYPE_ENUM, meta=2, values=vals300), 300)
+    assert got == {"idx": 300, "label": "v300"}
+
+
+def test_set():
+    vals = ["a", "b", "c", "d", "e"]
+    got = roundtrip(_c(C.TYPE_SET, meta=1, values=vals), 0b101)
+    assert got == {"mask": 0b101, "members": ["a", "c"]}
+    got = roundtrip(_c(C.TYPE_SET, meta=1, values=vals), 0)
+    assert got == {"mask": 0, "members": []}
+    got = roundtrip(_c(C.TYPE_SET, meta=1, values=vals), 0b11111)
+    assert got == {"mask": 0b11111, "members": vals}
+
+
+def test_bit():
+    assert roundtrip(_c(C.TYPE_BIT, meta=5), 0b01011) == 0b01011
+    meta64 = (8 << 8) | 0  # 64 bits = meta (8,0)
+    assert roundtrip(_c(C.TYPE_BIT, meta=meta64), (1 << 64) - 1) == (1 << 64) - 1
+
+
+def test_blob_text():
+    # binary charset -> bytes; text charset -> str (types.go:189-195)
+    assert roundtrip(_c(C.TYPE_BLOB, meta=2, charset=63), b"hello world!!!") == b"hello world!!!"
+    assert roundtrip(_c(C.TYPE_BLOB, meta=2, charset=255), "hello world!!!") == "hello world!!!"
+    assert roundtrip(_c(C.TYPE_BLOB, meta=4, charset=255), "x" * 100000) == "x" * 100000
+
+
+YEAR_CASES = [(0, 0), (2001, 2001), (1999, 1999), (1901, 1901), (2155, 2155)]
+
+
+@pytest.mark.parametrize("v,expect", YEAR_CASES)
+def test_year(v, expect):
+    assert roundtrip(_c(C.TYPE_YEAR), v) == expect
+
+
+DATE_CASES = [dt.date(2021, 2, 14), dt.date(1000, 1, 1), dt.date(9999, 12, 31)]
+
+
+@pytest.mark.parametrize("d", DATE_CASES)
+def test_date(d):
+    assert roundtrip(_c(C.TYPE_DATE), d) == d
+
+
+DATETIME_CASES = [
+    (dt.datetime(2021, 2, 14, 1, 2, 3), 0),
+    (dt.datetime(1000, 1, 1, 0, 0, 0), 0),
+    (dt.datetime(9999, 12, 31, 23, 59, 59), 0),
+    (dt.datetime(2021, 2, 14, 1, 2, 3, 456000), 3),
+    (dt.datetime(2021, 2, 14, 1, 2, 3, 456789), 6),
+    (dt.datetime(9999, 12, 31, 23, 59, 59, 999999), 6),
+]
+
+
+@pytest.mark.parametrize("d,meta", DATETIME_CASES)
+def test_datetime2(d, meta):
+    assert roundtrip(_c(C.TYPE_DATETIME2, meta=meta), d) == d
+
+
+TIMESTAMP_CASES = [
+    ((1, 0), 0), ((2147483647, 0), 0),
+    ((1613264523, 456000), 3), ((1613264523, 456789), 6),
+]
+
+
+@pytest.mark.parametrize("v,meta", TIMESTAMP_CASES)
+def test_timestamp2(v, meta):
+    sec, micros = v
+    got = roundtrip(_c(C.TYPE_TIMESTAMP2, meta=meta), v)
+    want = dt.datetime.fromtimestamp(sec, tz=dt.timezone.utc).replace(
+        tzinfo=None) + dt.timedelta(microseconds=micros)
+    assert got == want
+
+
+def _us(h, m, s, us=0, neg=False):
+    v = ((h * 3600 + m * 60 + s) * 1_000_000) + us
+    return -v if neg else v
+
+
+TIME_CASES = [
+    # ±838:59:59 bounds + fractional digits 1-6 + negative quirk
+    (_us(838, 59, 59), 0),
+    (_us(838, 59, 59, neg=True), 0),
+    (_us(0, 0, 0), 0),
+    (_us(1, 2, 3, 400000), 1),
+    (_us(1, 2, 3, 450000), 2),
+    (_us(1, 2, 3, 456000), 3),
+    (_us(1, 2, 3, 456700), 4),
+    (_us(1, 2, 3, 456780), 5),
+    (_us(1, 2, 3, 456789), 6),
+    (_us(1, 2, 3, 456789, neg=True), 6),
+    (_us(1, 2, 3, 400000, neg=True), 2),
+    (_us(23, 59, 59, neg=True), 0),
+]
+
+
+@pytest.mark.parametrize("micros,meta", TIME_CASES)
+def test_time2(micros, meta):
+    assert roundtrip(_c(C.TYPE_TIME2, meta=meta), micros) == micros
+
+
+def test_null_bitmap_roundtrip():
+    from binlog_spark.mysql.decode import bitmap_is_set
+    nulls = [True, False, False, True, False, True, True, False, True, False]
+    bm = E.null_bitmap(nulls)
+    assert [bitmap_is_set(bm, i) for i in range(len(nulls))] == nulls
