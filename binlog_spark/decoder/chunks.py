@@ -1,0 +1,93 @@
+"""Chunk staging: a binlog dump directory → a Spark DataFrame of chunk spans.
+
+The engine's unit of parallelism is the *transaction-aligned chunk*
+(SURVEY §4: every chunk re-declares its TABLE_MAPs, so chunks are
+independently decodable).  We ship only **metadata** (file, offset, length)
+through the driver; executors read their own byte ranges — at cluster scale
+these become object-store ranged GETs, so no bytes ever flow through the
+driver (contrast: the reference streams all bytes through one socket,
+/root/reference/remote.go:182-237).
+
+Seek/resume (the reference's Seek(file, pos), /root/reference/remote.go:
+147-169) is a *predicate* on this DataFrame: ``WHERE (log_file, chunk_off)
+>= checkpoint`` — partition-pruned, never scanned-and-dropped.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (LongType, StringType, StructField, StructType)
+
+CHUNK_SCHEMA = StructType([
+    StructField("dump_dir", StringType(), False),
+    StructField("log_file", StringType(), False),
+    StructField("chunk_off", LongType(), False),
+    StructField("chunk_len", LongType(), False),
+])
+
+
+def read_manifest(dump_dir: str) -> dict:
+    with open(os.path.join(dump_dir, "manifest.json")) as f:
+        return json.load(f)
+
+
+def scan_chunks(dump_dir: str, chunk_target: int = 4 << 20) -> list[tuple]:
+    """Discover transaction-aligned chunk spans without a manifest by
+    scanning event headers (the role of the reference's MasterStatus
+    complete-event scan, /root/reference/local.go:96-146), cutting at
+    XID boundaries once ``chunk_target`` bytes have accumulated."""
+    import struct
+
+    from .. import constants as C
+    out: list[tuple] = []
+    ptr = os.path.join(dump_dir, ".next")
+    files: list[str] = []
+    while os.path.exists(ptr):
+        with open(ptr) as f:
+            name = f.read().strip()
+        if not os.path.exists(os.path.join(dump_dir, name)):
+            break
+        files.append(name)
+        ptr = os.path.join(dump_dir, name + ".next")
+    for name in files:
+        with open(os.path.join(dump_dir, name), "rb") as f:
+            data = f.read()
+        pos, start = 4, 4
+        n = len(data)
+        while pos + C.HEADER_SIZE <= n:
+            typ = data[pos + 4]
+            size = struct.unpack_from("<I", data, pos + 9)[0]
+            if pos + size > n:
+                break
+            pos += size
+            if typ == C.XID_EVENT and pos - start >= chunk_target:
+                out.append((name, start, pos - start))
+                start = pos
+        if pos > start:
+            out.append((name, start, pos - start))
+    return out
+
+
+def chunks_df(spark: SparkSession, dump_dir: str,
+              use_manifest: bool = True) -> DataFrame:
+    """Chunk-span DataFrame, ordered by (log_file, chunk_off)."""
+    if use_manifest and os.path.exists(os.path.join(dump_dir, "manifest.json")):
+        manifest = read_manifest(dump_dir)
+        rows = [(dump_dir, f, int(o), int(l)) for (f, o, l) in manifest["chunks"]]
+    else:
+        rows = [(dump_dir, f, int(o), int(l)) for (f, o, l) in scan_chunks(dump_dir)]
+    return spark.createDataFrame(rows, CHUNK_SCHEMA)
+
+
+def seek(chunks: DataFrame, log_file: str, pos: int) -> DataFrame:
+    """Filter chunks at/after a checkpoint offset — the engine's Seek
+    (cf. /root/reference/remote.go:147-169).  A chunk is included iff it
+    *ends* after the checkpoint; the decoder skips events below ``pos``."""
+    return chunks.filter(
+        (F.col("log_file") > F.lit(log_file))
+        | ((F.col("log_file") == F.lit(log_file))
+           & (F.col("chunk_off") + F.col("chunk_len") > F.lit(pos))))

@@ -1,0 +1,15 @@
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from binlog_spark.session import get_spark
+    s = get_spark("binlog-spark-tests", cores=8, shuffle_partitions=8)
+    yield s
+    s.stop()
