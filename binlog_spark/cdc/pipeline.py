@@ -48,8 +48,8 @@ def with_key_change_tombstones(events: DataFrame) -> DataFrame:
         & (F.col("before_repo").isNotNull())
         & ((F.col("before_repo") != F.col("repo"))
            | (F.col("before_path") != F.col("path"))))
-    if moved.isEmpty():
-        return events
+    # no isEmpty() probe: that would execute the whole upstream once just
+    # to check — the union of a (typically empty) filtered branch is free
     tomb = (moved
             .withColumn("op", F.lit("D"))
             .withColumn("repo", F.col("before_repo"))
@@ -87,11 +87,20 @@ def last_writer_wins(events: DataFrame, *, salt_buckets: int = 0) -> DataFrame:
 
 
 def reduce_changes(events: DataFrame, *, salt_buckets: int = 0,
-                   dedup: bool = True) -> DataFrame:
-    """Full reduction: quarantine → dedup → tombstones → last-writer-wins.
+                   dedup: bool = False) -> DataFrame:
+    """Full reduction: quarantine → [dedup] → tombstones → last-writer-wins.
 
     Output: one row per touched key with ``op`` in {I,U,D} — exactly the
-    upsert batch the lake MERGE consumes."""
+    upsert batch the lake MERGE consumes.
+
+    ``dedup=False`` is the default ON PURPOSE: at-least-once redelivery
+    produces byte-identical records with identical (log_file, log_pos,
+    seq_in_tx) order keys, so the ``max_by`` reduction already yields the
+    same winner — an explicit dropDuplicates would add a second full
+    shuffle of the event stream for no semantic gain (this is the
+    exactly-once argument: identical-replica idempotence here, batch-id
+    idempotence at the sink).  Set ``dedup=True`` only for streams that
+    can re-deliver *conflicting* payloads under one (gtid, seq)."""
     good, _bad = quarantine_bad_crc(events)
     if dedup:
         good = dedup_gtid(good)

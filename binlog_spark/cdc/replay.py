@@ -78,19 +78,16 @@ def replay(spark: SparkSession, dump_dir: str, table_root: str, *,
         cdf = spark.createDataFrame(spans, "dump_dir string, log_file string,"
                                     " chunk_off long, chunk_len long")
         events = decode_changes(cdf, partitions=partitions)
-        if lineage:
-            events = events.persist()
-        try:
-            upserts = reduce_changes(events, salt_buckets=salt_buckets)
-            last_file = max(s[1] for s in spans)
-            last_end = max(s[2] + s[3] for s in spans if s[1] == last_file)
-            offsets = {"log_file": last_file, "next_pos": int(last_end)}
-            metrics = write_lineage(events, table_root, bid) if lineage else {}
-            snap = table.merge(spark, upserts, batch_id=bid, offsets=offsets)
-            snap.setdefault("stats", {}).update(metrics)
-        finally:
-            if lineage:
-                events.unpersist()
+        upserts = reduce_changes(events, salt_buckets=salt_buckets)
+        last_file = max(s[1] for s in spans)
+        last_end = max(s[2] + s[3] for s in spans if s[1] == last_file)
+        offsets = {"log_file": last_file, "next_pos": int(last_end)}
+        # lineage re-runs the decode (cheap, embarrassingly parallel)
+        # rather than caching the event stream — a DataFrame cache build
+        # costs more than a second decode pass at scale
+        metrics = write_lineage(events, table_root, bid) if lineage else {}
+        snap = table.merge(spark, upserts, batch_id=bid, offsets=offsets)
+        snap.setdefault("stats", {}).update(metrics)
     return table
 
 

@@ -53,6 +53,73 @@ CHANGE_SCHEMA = StructType([
 _COLNAMES = [f.name for f in CHANGE_SCHEMA.fields]
 
 
+def _parse_rows_fast(body: memoryview, event_type: int, fde, tme):
+    """Specialized row parser for all-VARCHAR tables (the repo_files
+    schema): same wire layout as the generic path
+    (/root/reference/rbr.go:246-350) but with inlined length-prefix reads.
+    Returns None when the event needs the generic decoder."""
+    pos = 4 if fde.post_header(event_type, 8) == 6 else 6
+    pos += 2  # flags
+    if event_type in C.ROWS_EVENTS_V2:
+        extra = body[pos] | (body[pos + 1] << 8)
+        pos += extra
+    ncol = body[pos]
+    if ncol >= 0xFB or ncol > 8:  # lenenc >1 byte or multi-byte null bitmap
+        return None
+    pos += 1
+    nb = (ncol + 7) // 8
+    present = bytes(body[pos:pos + nb])
+    pos += nb
+    is_update = event_type in C.UPDATE_ROWS_EVENTS
+    if is_update:
+        present2 = bytes(body[pos:pos + nb])
+        pos += nb
+        if present2 != present:
+            return None
+    if present != bytes([0xFF] * (ncol // 8) + ([((1 << (ncol % 8)) - 1)]
+                                               if ncol % 8 else [])):
+        return None  # partial-column image → generic path
+    cols = tme.columns
+    if len(cols) != ncol:
+        return None
+    # widths: 1- or 2-byte length prefix per column, all varchar/string
+    widths = []
+    for c in cols:
+        if c.type not in (C.TYPE_VARCHAR, C.TYPE_STRING):
+            return None
+        widths.append(1 if c.meta < 256 else 2)
+    end = len(body)
+    images_per_row = 2 if is_update else 1
+    rows = []
+    b = body
+    while pos < end:
+        imgs = []
+        for _ in range(images_per_row):
+            nullmap = b[pos]
+            pos += 1
+            vals = []
+            for i in range(ncol):
+                if (nullmap >> i) & 1:
+                    vals.append(None)
+                    continue
+                if widths[i] == 1:
+                    ln = b[pos]
+                    pos += 1
+                else:
+                    ln = b[pos] | (b[pos + 1] << 8)
+                    pos += 2
+                vals.append(str(b[pos:pos + ln], "utf-8"))
+                pos += ln
+            imgs.append(vals)
+        if is_update:
+            rows.append((imgs[0], imgs[1]))
+        elif event_type in C.WRITE_ROWS_EVENTS:
+            rows.append((None, imgs[0]))
+        else:
+            rows.append((imgs[0], None))
+    return rows
+
+
 def decode_span_columns(data: bytes, log_file: str, *, has_magic: bool = False,
                         verify_crc: bool = True) -> dict[str, list]:
     """Decode one chunk into columnar lists (no per-record objects)."""
@@ -60,6 +127,9 @@ def decode_span_columns(data: bytes, log_file: str, *, has_magic: bool = False,
     cols: dict[str, list] = {k: [] for k in _COLNAMES}
     ap = {k: cols[k].append for k in _COLNAMES}
     tme_cache: dict[int, object] = {}
+    # MySQL re-emits an identical TABLE_MAP before every rows-event of a
+    # statement run; parse each distinct body once (keyed by raw bytes).
+    tme_body_cache: dict[bytes, object] = {}
     gtid = None
     seq = 0
     for fr, fde_now in iter_frames(data, has_magic=has_magic,
@@ -73,10 +143,21 @@ def decode_span_columns(data: bytes, log_file: str, *, has_magic: bool = False,
             gtid = f"{_uuid.UUID(bytes=sid)}:{gno}"
             seq = 0
         elif t == C.TABLE_MAP_EVENT:
-            tme = parse_table_map(Cur(fr.body))
+            key = bytes(fr.body)
+            tme = tme_body_cache.get(key)
+            if tme is None:
+                tme = parse_table_map(Cur(fr.body))
+                tme_body_cache[key] = tme
             tme_cache[tme.table_id] = tme
         elif t in C.ROWS_EVENTS:
-            tme, rows = parse_rows_event(Cur(fr.body), t, fde_now, tme_cache)
+            pos8 = 4 if fde_now.post_header(t, 8) == 6 else 6
+            tid = int.from_bytes(fr.body[:pos8], "little")
+            tme = tme_cache.get(tid)
+            rows = (_parse_rows_fast(fr.body, t, fde_now, tme)
+                    if tme is not None else None)
+            if rows is None:
+                tme, rows = parse_rows_event(Cur(fr.body), t, fde_now,
+                                             tme_cache)
             if tme is None or not rows:
                 continue
             op = ("I" if t in C.WRITE_ROWS_EVENTS

@@ -141,15 +141,40 @@ class LakeTable:
     def _bucket_col(self) -> F.Column:
         return F.pmod(F.xxhash64(*KEY_COLS), F.lit(self.n_buckets)).cast("int")
 
+    @staticmethod
+    def _bucket_files(out_dir: str) -> dict[int, list[str]]:
+        out: dict[int, list[str]] = {}
+        if not os.path.isdir(out_dir):
+            return out
+        for d in sorted(os.listdir(out_dir)):
+            if d.startswith("bucket="):
+                b = int(d.split("=", 1)[1])
+                bdir = os.path.join(out_dir, d)
+                out[b] = [os.path.join(bdir, n) for n in sorted(os.listdir(bdir))
+                          if n.endswith(".parquet")]
+        return out
+
     def merge(self, spark: SparkSession, upserts: DataFrame, batch_id: str,
               offsets: dict | None = None) -> dict:
         """Apply a reduced upsert batch (one row per key, op in {I,U,D}).
 
-        Copy-on-write at bucket granularity: read only touched buckets,
-        anti-join out the updated/deleted keys, union the new images,
-        write those buckets, and commit a snapshot that references the
-        untouched buckets' files unchanged.
+        Copy-on-write at bucket granularity, computed in a SINGLE pass over
+        the (expensive) upsert pipeline — no DataFrame cache (its columnar
+        build can cost more than the pipeline itself):
+
+          * empty table: write live rows straight to final bucket files;
+            touched buckets discovered from the written directories, batch
+            stats collected via ``Observation`` during the same pass.
+          * incremental: stage the full batch (incl. tombstones) to
+            parquet partitioned by bucket — that staging write is the one
+            pipeline execution; discover touched buckets from the staging
+            dirs; then merge = old ⟕anti staged-keys ∪ staged-live, reading
+            cheap parquet instead of recomputing.  At warehouse scale
+            staging the reduced batch before the rewrite is exactly the
+            shuffle-once pattern you want.
         """
+        from pyspark.sql import Observation
+
         if batch_id in self.committed_batch_ids():
             return {"skipped": True, "batch_id": batch_id}
 
@@ -166,20 +191,46 @@ class LakeTable:
                      "log_file", "log_pos", "seq_in_tx")]
         schema_cols += new_cols
 
-        up = upserts.withColumn("bucket", self._bucket_col()).cache()
-        try:
-            touched = sorted(r.bucket for r in
-                             up.select("bucket").distinct().collect())
+        up = upserts.withColumn("bucket", self._bucket_col())
+        up_cols = [c for c in schema_cols if c in up.columns]
+        table_empty = not any(old_buckets.values())
+
+        commit_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.data_dir, commit_id)
+        obs = Observation(f"merge-{commit_id}")
+        n_parts = max(self.n_buckets // 2, 1)
+
+        if table_empty:
+            src = (up.select(*up_cols, "op", "bucket")
+                   .observe(obs, F.count(F.lit(1)).alias("n"),
+                            F.sum(F.when(F.col("op") == "D", 1)
+                                  .otherwise(0)).alias("d")))
+            live = src.filter(F.col("op") != "D").drop("op")
+            (live.repartition(n_parts, "bucket")
+             .write.partitionBy("bucket").mode("overwrite").parquet(out_dir))
+            by_bucket = self._bucket_files(out_dir)
+            touched = sorted(by_bucket)
+            staging_dir = None
+        else:
+            staging_dir = os.path.join(self.data_dir,
+                                       f".staging-{commit_id}")
+            staged_df = (up.select(*up_cols, "op", "bucket")
+                         .observe(obs, F.count(F.lit(1)).alias("n"),
+                                  F.sum(F.when(F.col("op") == "D", 1)
+                                        .otherwise(0)).alias("d")))
+            (staged_df.repartition(n_parts, "bucket")
+             .write.partitionBy("bucket").mode("overwrite")
+             .parquet(staging_dir))
+            touched = sorted(self._bucket_files(staging_dir))
             touched_files = [f for b in touched
                              for f in old_buckets.get(str(b), [])]
-
-            live = up.filter(F.col("op") != "D")
-            live_cols = [c for c in schema_cols if c in up.columns]
-            live = live.select(*live_cols, "bucket")
+            staged = spark.read.option("basePath", staging_dir) \
+                .parquet(staging_dir)
+            live = staged.filter(F.col("op") != "D").drop("op")
             for c in schema_cols:
                 if c not in live.columns:
                     live = live.withColumn(c, F.lit(None).cast("string"))
-
+            live = live.select(*schema_cols, "bucket")
             if touched_files:
                 old = spark.read.parquet(*touched_files)
                 for c in schema_cols:
@@ -187,36 +238,30 @@ class LakeTable:
                         old = old.withColumn(c, F.lit(None).cast("string"))
                 old = (old.select(*schema_cols)
                        .withColumn("bucket", self._bucket_col()))
-                # MERGE = anti-join old rows whose key is touched + new live
-                # rows.  The join shuffles on the same (repo, path) hash the
-                # buckets were built from, and AQE splits skewed keys.
-                keys = up.select(*KEY_COLS).distinct()
+                # MERGE = anti-join out touched keys, union new images; the
+                # join shuffles on the same (repo, path) hash the buckets
+                # were built from, and AQE splits skewed keys.
+                keys = staged.select(*KEY_COLS).distinct()
                 kept = old.join(keys, on=list(KEY_COLS), how="left_anti")
-                merged = kept.unionByName(
-                    live.select(*kept.columns), allowMissingColumns=True)
+                merged = kept.unionByName(live)
             else:
                 merged = live
-
-            commit_id = uuid.uuid4().hex[:12]
-            out_dir = os.path.join(self.data_dir, commit_id)
-            (merged
-             .repartition(max(len(touched), 1), "bucket")
+            (merged.repartition(max(len(touched), 1), "bucket")
              .write.partitionBy("bucket").mode("overwrite").parquet(out_dir))
+            by_bucket = self._bucket_files(out_dir)
 
-            new_buckets = dict(old_buckets)
-            written = 0
-            for b in touched:
-                bdir = os.path.join(out_dir, f"bucket={b}")
-                files = ([os.path.join(bdir, n) for n in sorted(os.listdir(bdir))
-                          if n.endswith(".parquet")]
-                         if os.path.isdir(bdir) else [])
-                new_buckets[str(b)] = files
-                written += len(files)
+        new_buckets = dict(old_buckets)
+        written = 0
+        for b in touched:
+            files = by_bucket.get(b, [])
+            new_buckets[str(b)] = files
+            written += len(files)
 
-            n_up = up.count()
-            n_del = up.filter(F.col("op") == "D").count()
-        finally:
-            up.unpersist()
+        row = obs.get
+        n_up, n_del = int(row["n"] or 0), int(row["d"] or 0)
+        if staging_dir:
+            import shutil
+            shutil.rmtree(staging_dir, ignore_errors=True)
 
         sid = snap["snapshot_id"] + 1
         new_snap = {

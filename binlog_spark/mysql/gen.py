@@ -81,15 +81,12 @@ class ChangeScript:
         self.repos = [f"org{i % 7}/repo{i}" for i in range(cfg.n_repos)]
         self.weights = [1.0 / (i + 1) ** cfg.zipf_a for i in range(cfg.n_repos)]
 
+    _AVG_WORD = sum(len(w) + 1 for w in _WORDS) / len(_WORDS)
+
     def _content(self) -> str:
         n = self.rnd.randint(self.cfg.content_min, self.cfg.content_max)
-        words = []
-        size = 0
-        while size < n:
-            w = self.rnd.choice(_WORDS)
-            words.append(w)
-            size += len(w) + 1
-        return " ".join(words)
+        k = max(1, int(n / self._AVG_WORD))
+        return " ".join(self.rnd.choices(_WORDS, k=k))
 
     def _commit(self) -> str:
         self._commit_no += 1
