@@ -71,7 +71,8 @@ def last_writer_wins(events: DataFrame, *, salt_buckets: int = 0) -> DataFrame:
     in ~every transaction), cf. SURVEY §7 hard-parts #5.
     """
     payload = F.struct(*[F.col(c) for c in
-                         ("op", *DATA_COLS, *ORDER_COLS, "gtid", "ts_sec")])
+                         ("op", *DATA_COLS, "extra_json", *ORDER_COLS,
+                          "gtid", "ts_sec")])
     if salt_buckets > 0:
         salted = events.withColumn(
             "_salt", F.pmod(F.xxhash64("gtid", "seq_in_tx"), F.lit(salt_buckets)))
@@ -108,9 +109,29 @@ def reduce_changes(events: DataFrame, *, salt_buckets: int = 0,
     return last_writer_wins(good, salt_buckets=salt_buckets)
 
 
+def flatten_extras(upserts: DataFrame) -> tuple[DataFrame, list[str]]:
+    """Promote schema-evolution extras (the ``extra_json`` map) to real
+    columns.  The distinct-key probe is a tiny aggregation over the already
+    reduced batch (one row per touched key), not the event stream."""
+    if "extra_json" not in upserts.columns:
+        return upserts, []
+    names = sorted(
+        r[0] for r in upserts
+        .filter(F.col("extra_json").isNotNull())
+        .select(F.explode(F.json_object_keys("extra_json")))
+        .distinct().collect())
+    for n in names:
+        upserts = upserts.withColumn(
+            n, F.get_json_object("extra_json", f"$.{n}"))
+    return upserts.drop("extra_json"), names
+
+
 def final_state(upserts: DataFrame) -> DataFrame:
-    """Terminal state of an empty-start replay: drop tombstones."""
-    return upserts.filter(F.col("op") != "D").select(*KEY_COLS, *DATA_COLS)
+    """Terminal state of an empty-start replay: drop tombstones, promote
+    schema-evolution extras."""
+    flat, extras = flatten_extras(upserts)
+    return (flat.filter(F.col("op") != "D")
+            .select(*KEY_COLS, *DATA_COLS, *extras))
 
 
 def state_fingerprint(state: DataFrame) -> str:
@@ -118,17 +139,21 @@ def state_fingerprint(state: DataFrame) -> str:
     state DF — comparable across engines via the same row serialization as
     the oracle's digest (binlog_spark.mysql.oracle.state_digest)."""
     import hashlib
+    import json
+    base = ("repo", "path", "commit", "lang", "content")
+    extra_cols = [c for c in state.columns if c not in base]
     rows = (state
             .select("repo", "path", "commit", "lang",
                     F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
-                    .alias("content_sha"))
+                    .alias("content_sha"), *extra_cols)
             .orderBy("repo", "path")
             .collect())
     h = hashlib.sha256()
-    import json
     for r in rows:
-        line = json.dumps([r.repo, r.path, r.commit, r.lang, r.content_sha],
-                          separators=(",", ":"))
+        extras = {c: r[c] for c in extra_cols if r[c] is not None}
+        line = json.dumps([r.repo, r.path, r.commit, r.lang, r.content_sha,
+                           extras],
+                          separators=(",", ":"), sort_keys=True)
         h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from ..decoder.chunks import chunks_df
 from ..decoder.kernel import decode_changes
 from ..lake.table import LakeTable
-from .pipeline import reduce_changes
+from .pipeline import flatten_extras, reduce_changes
 
 
 def _batch_id(dump_dir: str, idx: int, spans: list) -> str:
@@ -79,6 +79,9 @@ def replay(spark: SparkSession, dump_dir: str, table_root: str, *,
                                     " chunk_off long, chunk_len long")
         events = decode_changes(cdf, partitions=partitions)
         upserts = reduce_changes(events, salt_buckets=salt_buckets)
+        # schema evolution: extras observed in this batch become real
+        # columns; the MERGE widens the table schema accordingly
+        upserts, _new_cols = flatten_extras(upserts)
         last_file = max(s[1] for s in spans)
         last_end = max(s[2] + s[3] for s in spans if s[1] == last_file)
         offsets = {"log_file": last_file, "next_pos": int(last_end)}

@@ -40,6 +40,8 @@ CHANGE_SCHEMA = StructType([
     StructField("commit", StringType(), True),
     StructField("lang", StringType(), True),
     StructField("content", StringType(), True),
+    # columns beyond the base schema (TABLE_MAP evolution) as a JSON map
+    StructField("extra_json", StringType(), True),
     StructField("before_repo", StringType(), True),
     StructField("before_path", StringType(), True),
     StructField("gtid", StringType(), True),
@@ -163,22 +165,40 @@ def decode_span_columns(data: bytes, log_file: str, *, has_magic: bool = False,
             op = ("I" if t in C.WRITE_ROWS_EVENTS
                   else "U" if t in C.UPDATE_ROWS_EVENTS else "D")
             pos, ts, crc = fr.next_pos, fr.timestamp, fr.crc_ok
+            layout = getattr(tme, "_layout", None)
+            if layout is None:
+                names = [c.name for c in tme.columns]
+                base = ("repo", "path", "commit", "lang", "content")
+                fixed = [names.index(n) if n in names else None for n in base]
+                extras = [(n, i) for i, n in enumerate(names) if n not in base]
+                layout = (fixed, extras)
+                tme._layout = layout
+            (i_repo, i_path, i_commit, i_lang, i_content), extras = layout
+            import json as _json
             for before, after in rows:
                 img = after if after is not None else before
                 ap["op"](op)
-                ap["repo"](img[0])
-                ap["path"](img[1])
+                ap["repo"](img[i_repo])
+                ap["path"](img[i_path])
                 if after is not None:
-                    ap["commit"](img[2])
-                    ap["lang"](img[3])
-                    ap["content"](img[4])
+                    ap["commit"](img[i_commit])
+                    ap["lang"](img[i_lang])
+                    ap["content"](img[i_content])
+                    if extras:
+                        ex = {n: img[i] for n, i in extras
+                              if img[i] is not None}
+                        ap["extra_json"](_json.dumps(ex, sort_keys=True)
+                                         if ex else None)
+                    else:
+                        ap["extra_json"](None)
                 else:
                     ap["commit"](None)
                     ap["lang"](None)
                     ap["content"](None)
+                    ap["extra_json"](None)
                 if before is not None:
-                    ap["before_repo"](before[0])
-                    ap["before_path"](before[1])
+                    ap["before_repo"](before[i_repo])
+                    ap["before_path"](before[i_path])
                 else:
                     ap["before_repo"](None)
                     ap["before_path"](None)

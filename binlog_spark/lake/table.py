@@ -130,7 +130,11 @@ class LakeTable:
             from pyspark.sql.types import StringType, StructField, StructType
             return spark.createDataFrame(
                 [], StructType([StructField(c, StringType()) for c in schema_cols]))
-        df = spark.read.parquet(*files)
+        # mergeSchema: buckets written before a schema evolution lack the
+        # new columns
+        df = spark.read.option("mergeSchema", "true").parquet(*files)
+        if "op" in df.columns:  # tombstones are persisted, filtered on read
+            df = df.filter(F.col("op") != "D")
         for c in schema_cols:
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(None).cast("string"))
@@ -188,10 +192,20 @@ class LakeTable:
         new_cols = [c for c in upserts.columns
                     if c not in schema_cols and c not in
                     ("op", "before_repo", "before_path", "gtid", "ts_sec",
-                     "log_file", "log_pos", "seq_in_tx")]
+                     "log_file", "log_pos", "seq_in_tx", "extra_json",
+                     "bucket")]
         schema_cols += new_cols
 
         up = upserts.withColumn("bucket", self._bucket_col())
+        # commit-order metadata is persisted with every row: MERGE is itself
+        # a last-writer-wins reduction, so batches may arrive out of order
+        # (micro-batch file sources don't guarantee log order) and deletes
+        # are persisted as tombstones, filtered on read.
+        for c, typ, dflt in (("op", "string", "I"), ("log_file", "string", ""),
+                             ("log_pos", "bigint", 0), ("seq_in_tx", "int", 0)):
+            if c not in up.columns:
+                up = up.withColumn(c, F.lit(dflt).cast(typ))
+        meta_cols = ["op", "log_file", "log_pos", "seq_in_tx"]
         up_cols = [c for c in schema_cols if c in up.columns]
         table_empty = not any(old_buckets.values())
 
@@ -200,13 +214,13 @@ class LakeTable:
         obs = Observation(f"merge-{commit_id}")
         n_parts = max(self.n_buckets // 2, 1)
 
+        src = (up.select(*up_cols, *meta_cols, "bucket")
+               .observe(obs, F.count(F.lit(1)).alias("n"),
+                        F.sum(F.when(F.col("op") == "D", 1)
+                              .otherwise(0)).alias("d")))
+
         if table_empty:
-            src = (up.select(*up_cols, "op", "bucket")
-                   .observe(obs, F.count(F.lit(1)).alias("n"),
-                            F.sum(F.when(F.col("op") == "D", 1)
-                                  .otherwise(0)).alias("d")))
-            live = src.filter(F.col("op") != "D").drop("op")
-            (live.repartition(n_parts, "bucket")
+            (src.repartition(n_parts, "bucket")
              .write.partitionBy("bucket").mode("overwrite").parquet(out_dir))
             by_bucket = self._bucket_files(out_dir)
             touched = sorted(by_bucket)
@@ -214,38 +228,45 @@ class LakeTable:
         else:
             staging_dir = os.path.join(self.data_dir,
                                        f".staging-{commit_id}")
-            staged_df = (up.select(*up_cols, "op", "bucket")
-                         .observe(obs, F.count(F.lit(1)).alias("n"),
-                                  F.sum(F.when(F.col("op") == "D", 1)
-                                        .otherwise(0)).alias("d")))
-            (staged_df.repartition(n_parts, "bucket")
+            (src.repartition(n_parts, "bucket")
              .write.partitionBy("bucket").mode("overwrite")
              .parquet(staging_dir))
             touched = sorted(self._bucket_files(staging_dir))
             touched_files = [f for b in touched
                              for f in old_buckets.get(str(b), [])]
             staged = spark.read.option("basePath", staging_dir) \
-                .parquet(staging_dir)
-            live = staged.filter(F.col("op") != "D").drop("op")
-            for c in schema_cols:
-                if c not in live.columns:
-                    live = live.withColumn(c, F.lit(None).cast("string"))
-            live = live.select(*schema_cols, "bucket")
-            if touched_files:
-                old = spark.read.parquet(*touched_files)
+                .option("mergeSchema", "true").parquet(staging_dir)
+            all_cols = list(schema_cols) + meta_cols
+
+            def _conform(df: DataFrame) -> DataFrame:
+                for c, typ, dflt in (("op", "string", "I"),
+                                     ("log_file", "string", ""),
+                                     ("log_pos", "bigint", 0),
+                                     ("seq_in_tx", "int", 0)):
+                    if c not in df.columns:
+                        df = df.withColumn(c, F.lit(dflt).cast(typ))
                 for c in schema_cols:
-                    if c not in old.columns:
-                        old = old.withColumn(c, F.lit(None).cast("string"))
-                old = (old.select(*schema_cols)
-                       .withColumn("bucket", self._bucket_col()))
-                # MERGE = anti-join out touched keys, union new images; the
-                # join shuffles on the same (repo, path) hash the buckets
-                # were built from, and AQE splits skewed keys.
-                keys = staged.select(*KEY_COLS).distinct()
-                kept = old.join(keys, on=list(KEY_COLS), how="left_anti")
-                merged = kept.unionByName(live)
+                    if c not in df.columns:
+                        df = df.withColumn(c, F.lit(None).cast("string"))
+                return df.select(*all_cols)
+
+            staged = _conform(staged)
+            if touched_files:
+                old = _conform(spark.read.option("mergeSchema", "true")
+                               .parquet(*touched_files))
+                # MERGE = per-key last-writer-wins between the existing
+                # rows (which carry their original commit order) and the
+                # batch; shuffles on the same (repo, path) hash the
+                # buckets were built from, AQE splits skewed keys.
+                combined = old.unionByName(staged)
+                payload = F.struct(*all_cols)
+                order = F.struct("log_file", "log_pos", "seq_in_tx")
+                merged = (combined.groupBy(*KEY_COLS)
+                          .agg(F.max_by(payload, order).alias("w"))
+                          .select("w.*")
+                          .withColumn("bucket", self._bucket_col()))
             else:
-                merged = live
+                merged = staged.withColumn("bucket", self._bucket_col())
             (merged.repartition(max(len(touched), 1), "bucket")
              .write.partitionBy("bucket").mode("overwrite").parquet(out_dir))
             by_bucket = self._bucket_files(out_dir)

@@ -593,6 +593,9 @@ class ChangeRecord:
     log_pos: int
     ts: int
     crc_ok: bool
+    #: column names from the governing TABLE_MAP (shared tuple per map) —
+    #: carries schema evolution to the applier
+    columns: tuple = ()
 
 
 def decode_chunk(data: bytes | memoryview, log_file: str, *,
@@ -629,10 +632,14 @@ def decode_chunk(data: bytes | memoryview, log_file: str, *,
                 continue
             op = ("I" if t in C.WRITE_ROWS_EVENTS
                   else "U" if t in C.UPDATE_ROWS_EVENTS else "D")
+            names = getattr(tme, "_names", None)
+            if names is None:
+                names = tuple(c.name for c in tme.columns)
+                tme._names = names
             for before, after in rows:
                 out.append(ChangeRecord(
                     op, tme.schema, tme.table, before, after, gtid, seq,
-                    log_file, fr.next_pos, fr.timestamp, fr.crc_ok))
+                    log_file, fr.next_pos, fr.timestamp, fr.crc_ok, names))
                 seq += 1
         elif t == C.ROTATE_EVENT:
             tme_cache.clear()  # (/root/reference/binlog.go:42)

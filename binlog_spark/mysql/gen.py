@@ -46,6 +46,7 @@ class Change:
     commit: str | None = None
     lang: str | None = None
     content: str | None = None
+    branch: str | None = None       # present only after schema evolution
 
 
 @dataclass
@@ -61,6 +62,10 @@ class GenConfig:
     content_min: int = 10
     content_max: int = 4096
     base_ts: int = 1_700_000_000
+    #: change index at which the table gains a `branch` column (ALTER TABLE
+    #: mid-stream -> subsequent TABLE_MAPs carry 6 columns; the engine's
+    #: schema-evolution trigger, SURVEY §1.2).  None = no evolution.
+    evolve_at: int | None = None
 
 
 class ChangeScript:
@@ -74,8 +79,10 @@ class ChangeScript:
     def __init__(self, cfg: GenConfig) -> None:
         self.cfg = cfg
         self.rnd = random.Random(cfg.seed)
-        self.live: dict[tuple[str, str], tuple[str, str, str]] = {}
+        # live rows: (commit, lang, content, branch-or-None)
+        self.live: dict[tuple[str, str], tuple] = {}
         self.live_keys: list[tuple[str, str]] = []
+        self.n_emitted = 0
         self._commit_no = 0
         # precompute Zipf repo weights
         self.repos = [f"org{i % 7}/repo{i}" for i in range(cfg.n_repos)]
@@ -101,6 +108,14 @@ class ChangeScript:
         path = "/".join(parts) + f"_{self.rnd.randint(0, 10**6)}.{lang}"
         return repo, path
 
+    @property
+    def evolved(self) -> bool:
+        ev = self.cfg.evolve_at
+        return ev is not None and self.n_emitted >= ev
+
+    def _branch(self) -> str | None:
+        return f"b{self.rnd.randint(0, 3)}" if self.evolved else None
+
     def __iter__(self) -> Iterator[Change]:
         for _ in range(self.cfg.n_changes):
             r = self.rnd.random()
@@ -109,14 +124,14 @@ class ChangeScript:
                 while (repo, path) in self.live:
                     repo, path = self._new_key()
                 lang = EXT2LANG.get(path.rsplit(".", 1)[-1])
-                row = (self._commit(), lang, self._content())
+                row = (self._commit(), lang, self._content(), self._branch())
                 self.live[(repo, path)] = row
                 self.live_keys.append((repo, path))
                 yield Change("I", repo, path, *row)
             elif r < 0.85:
                 repo, path = self.rnd.choice(self.live_keys)
                 old = self.live[(repo, path)]
-                row = (self._commit(), old[1], self._content())
+                row = (self._commit(), old[1], self._content(), self._branch())
                 self.live[(repo, path)] = row
                 yield Change("U", repo, path, *row)
             else:
@@ -126,8 +141,9 @@ class ChangeScript:
                 self.live_keys.pop()
                 del self.live[(repo, path)]
                 yield Change("D", repo, path)
+            self.n_emitted += 1
 
-    def final_state(self) -> dict[tuple[str, str], tuple[str, str, str]]:
+    def final_state(self) -> dict[tuple[str, str], tuple]:
         return dict(self.live)
 
 
@@ -229,8 +245,15 @@ class BinlogWriter:
             self.fh.close()
 
 
-def _row(ch: Change) -> tuple:
-    return (ch.repo, ch.path, ch.commit, ch.lang, ch.content)
+def _row(ch: Change, evolved: bool) -> tuple:
+    base = (ch.repo, ch.path, ch.commit, ch.lang, ch.content)
+    return base + (ch.branch,) if evolved else base
+
+
+def _pad(row: tuple, ncol: int) -> tuple:
+    """Rows written before an ALTER TABLE logically gain the new column
+    with NULL — before-images must match the current schema."""
+    return row + (None,) * (ncol - len(row))
 
 
 def generate(out_dir: str, cfg: GenConfig | None = None,
@@ -248,7 +271,10 @@ def generate(out_dir: str, cfg: GenConfig | None = None,
     w = BinlogWriter(out_dir, cfg, chunk_target)
     w._open_file()
 
-    cols = E.REPO_FILES_COLUMNS
+    from .encode import varchar
+    cols = list(E.REPO_FILES_COLUMNS)
+    evolved_cols = cols + [varchar("branch", 16, nullable=True)]
+    evolved = False
     gno = 0
     stmts: list[tuple[int, list, list | None]] = []
     # current same-op run, flushed into one rows-event on op switch or when
@@ -283,20 +309,27 @@ def generate(out_dir: str, cfg: GenConfig | None = None,
 
     for ch in script:
         key = (ch.repo, ch.path)
+        if not evolved and script.evolved:
+            # ALTER TABLE boundary: close the open transaction under the
+            # old schema; subsequent TABLE_MAPs declare the new column
+            flush_tx()
+            evolved = True
+            cols = evolved_cols
         if cur_op is not None and (ch.op != cur_op or len(rows) >= cfg.rows_per_event):
             flush_event()
             if n_ev >= cfg.events_per_tx:
                 flush_tx()
         cur_op = ch.op
+        ncol = len(cols)
         if ch.op == "I":
-            rows.append(_row(ch))
-            before_state[key] = _row(ch)
+            rows.append(_row(ch, evolved))
+            before_state[key] = _row(ch, evolved)
         elif ch.op == "U":
-            before_rows.append(before_state[key])
-            rows.append(_row(ch))
-            before_state[key] = _row(ch)
+            before_rows.append(_pad(before_state[key], ncol))
+            rows.append(_row(ch, evolved))
+            before_state[key] = _row(ch, evolved)
         else:  # delete carries the WHERE image (/root/reference/doc.go:53-65)
-            rows.append(before_state.pop(key))
+            rows.append(_pad(before_state.pop(key), ncol))
         w.manifest.n_changes += 1
     flush_tx()
     w._emit(C.ROTATE_EVENT, E.rotate_body(f"binlog.{w.file_no + 1:06d}", 4))
@@ -313,8 +346,12 @@ def generate(out_dir: str, cfg: GenConfig | None = None,
         }, f)
     final = script.final_state()
     with open(os.path.join(out_dir, "final_state.jsonl"), "w") as f:
-        for (repo, path), (commit, lang, content) in sorted(final.items()):
-            json.dump({"repo": repo, "path": path, "commit": commit,
-                       "lang": lang, "content": content}, f)
+        for (repo, path), row in sorted(final.items()):
+            commit, lang, content = row[0], row[1], row[2]
+            rec = {"repo": repo, "path": path, "commit": commit,
+                   "lang": lang, "content": content}
+            if len(row) > 3 and row[3] is not None:
+                rec["branch"] = row[3]
+            json.dump(rec, f)
             f.write("\n")
     return w.manifest

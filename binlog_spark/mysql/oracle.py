@@ -57,11 +57,12 @@ def apply_records(records: Iterator[ChangeRecord],
             if k in seen:
                 continue
             seen.add(k)
+        names = r.columns or REPO_COLS
         if r.op in ("I", "U"):
-            row = dict(zip(REPO_COLS, r.after))
+            row = dict(zip(names, r.after))
             state[(row["repo"], row["path"])] = row
         else:
-            row = dict(zip(REPO_COLS, r.before))
+            row = dict(zip(names, r.before))
             state.pop((row["repo"], row["path"]), None)
     return state
 
@@ -77,10 +78,12 @@ def state_digest(state: dict[tuple[str, str], dict]) -> str:
     for key in sorted(state):
         row = state[key]
         content = row.get("content") or ""
+        extras = {k: v for k, v in row.items()
+                  if k not in REPO_COLS and v is not None}
         line = json.dumps(
             [row["repo"], row["path"], row["commit"], row.get("lang"),
-             hashlib.sha256(content.encode()).hexdigest()],
-            separators=(",", ":"))
+             hashlib.sha256(content.encode()).hexdigest(), extras],
+            separators=(",", ":"), sort_keys=True)
         h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()
