@@ -300,6 +300,44 @@ class LakeTable:
         self._commit_snapshot(new_snap)
         return new_snap
 
+    def compact(self, spark: SparkSession, drop_tombstones: bool = True,
+                target_buckets: int | None = None) -> dict:
+        """Rewrite all buckets into one file set: drops delete tombstones
+        (safe once no out-of-order data older than them can still arrive)
+        and merges small files from many incremental commits."""
+        snap = self.snapshot()
+        if snap is None:
+            raise ValueError("compact: table has no snapshots")
+        files = [f for fl in snap["buckets"].values() for f in fl]
+        schema_cols = snap["schema"]
+        commit_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.data_dir, commit_id)
+        if files:
+            df = spark.read.option("mergeSchema", "true").parquet(*files)
+            if drop_tombstones and "op" in df.columns:
+                df = df.filter(F.col("op") != "D")
+            for c in schema_cols:
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None).cast("string"))
+            df = df.withColumn("bucket", self._bucket_col())
+            (df.repartition(target_buckets or max(self.n_buckets // 2, 1),
+                            "bucket")
+             .write.partitionBy("bucket").mode("overwrite").parquet(out_dir))
+        by_bucket = self._bucket_files(out_dir)
+        new_snap = {
+            "snapshot_id": snap["snapshot_id"] + 1,
+            "parent": snap["snapshot_id"],
+            "batch_id": f"compact-{commit_id}",
+            "schema": schema_cols,
+            "buckets": {str(b): fl for b, fl in by_bucket.items()},
+            "offsets": snap.get("offsets"),
+            "stats": {"compacted_from_files": len(files),
+                      "data_files_written": sum(map(len, by_bucket.values()))},
+            "committed_at": time.time(),
+        }
+        self._commit_snapshot(new_snap)
+        return new_snap
+
     # -- retention ----------------------------------------------------------
 
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
