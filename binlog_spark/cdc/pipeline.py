@@ -42,53 +42,96 @@ def quarantine_bad_crc(events: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def with_key_change_tombstones(events: DataFrame) -> DataFrame:
-    """An UPDATE that moved the row's key must delete the old key too."""
-    moved = events.filter(
-        (F.col("op") == "U")
-        & (F.col("before_repo").isNotNull())
-        & ((F.col("before_repo") != F.col("repo"))
-           | (F.col("before_path") != F.col("path"))))
-    # no isEmpty() probe: that would execute the whole upstream once just
-    # to check — the union of a (typically empty) filtered branch is free
-    tomb = (moved
-            .withColumn("op", F.lit("D"))
-            .withColumn("repo", F.col("before_repo"))
-            .withColumn("path", F.col("before_path"))
-            .withColumn("commit", F.lit(None).cast("string"))
-            .withColumn("lang", F.lit(None).cast("string"))
-            .withColumn("content", F.lit(None).cast("string")))
-    return events.unionByName(tomb)
+    """An UPDATE that moved the row's key must delete the old key too.
+
+    Implemented as a per-row array explode — a union of a filtered branch
+    would make Catalyst execute the (expensive) upstream decode twice."""
+    cols = events.columns
+    moved = ((F.col("op") == "U")
+             & F.col("before_repo").isNotNull()
+             & ((F.col("before_repo") != F.col("repo"))
+                | (F.col("before_path") != F.col("path"))))
+
+    def as_struct(**over: F.Column) -> F.Column:
+        return F.struct(*[(over.get(c, F.col(c))).alias(c) for c in cols])
+
+    null_s = F.lit(None).cast("string")
+    over = {"op": F.lit("D"), "repo": F.col("before_repo"),
+            "path": F.col("before_path")}
+    for c in ("commit", "lang", "content", "extra_json"):
+        if c in cols:
+            over[c] = null_s
+    arr = F.when(moved, F.array(as_struct(), as_struct(**over))) \
+        .otherwise(F.array(as_struct()))
+    return events.select(F.explode(arr).alias("r")).select("r.*")
 
 
-def last_writer_wins(events: DataFrame, *, salt_buckets: int = 0) -> DataFrame:
+#: packed commit-order key: file_no(18b) | log_pos(30b) | seq(15b) = 63 bits
+#: — lets the winner search run as max(BIGINT) in a codegen'd
+#: HashAggregate with map-side combine (any var-length aggregation buffer
+#: forces SortAggregate in Spark).  Bounds: ≤262k binlog files, ≤1 GiB per
+#: file, seq clamped at 32767 (ties beyond that break arbitrarily — only
+#: reachable for >32k-row single-key transactions).
+def pack_ord() -> F.Column:
+    file_no = F.regexp_extract("log_file", r"(\d+)$", 1).cast("long")
+    seq = F.least(F.col("seq_in_tx").cast("long"), F.lit(32767))
+    return (F.shiftleft(file_no, 45)
+            + F.shiftleft(F.col("log_pos"), 15) + seq).alias("_ord")
+
+
+_OUT_COLS = (*KEY_COLS, "op", *DATA_COLS, "extra_json", *ORDER_COLS,
+             "gtid", "ts_sec")
+
+
+def last_writer_wins(events: DataFrame, *, salt_buckets: int = 0,
+                     key_events: DataFrame | None = None,
+                     broadcast_winners: bool = True) -> DataFrame:
     """Reduce the change stream to one winning record per (repo, path).
 
-    ``max_by`` over the commit-order struct = commit-order apply without a
-    per-partition sort; Spark plans it as a partial aggregation before the
-    shuffle, so each map task pre-reduces its chunk's updates — the hot-key
-    traffic collapses map-side.  ``salt_buckets > 0`` adds an explicit
-    two-stage aggregation for pathological single-key skew (a key updated
-    in ~every transaction), cf. SURVEY §7 hard-parts #5.
+    Strategy (late materialization): the winner *order* per key is found
+    with ``max(_ord)`` over a packed BIGINT — a codegen'd HashAggregate
+    with map-side combine and a tiny shuffle of (key, long) — and the full
+    payload is then selected by joining the winners back against the
+    stream.  Any payload-carrying max/max_by has a var-length aggregation
+    buffer, which Spark can only SortAggregate: that would sort the whole
+    decoded stream twice and shuffle every payload byte.
+
+    ``key_events``: optionally a cheap key-only decode of the same chunks
+    (decoder.kernel.decode_keys) for the winner search, so the full decode
+    runs once instead of twice.  ``broadcast_winners``: the winner set is
+    (key, long) — broadcast by default so the payload stream is *never
+    shuffled*; disable for batches whose key count exceeds driver memory
+    (the join then shuffles, still cheaper than the double sort).
+
+    Hot keys need no salting here: map-side combine collapses a hot key's
+    updates to one (key, long) per task.  ``salt_buckets`` is kept for the
+    pathological case and applies a two-stage max on the packed order.
     """
-    payload = F.struct(*[F.col(c) for c in
-                         ("op", *DATA_COLS, "extra_json", *ORDER_COLS,
-                          "gtid", "ts_sec")])
+    keys = key_events if key_events is not None else events
+    keys = keys.withColumn("_ord", pack_ord())
     if salt_buckets > 0:
-        salted = events.withColumn(
-            "_salt", F.pmod(F.xxhash64("gtid", "seq_in_tx"), F.lit(salt_buckets)))
+        salted = keys.withColumn(
+            "_salt", F.pmod(F.xxhash64("log_pos", "seq_in_tx"),
+                            F.lit(salt_buckets)))
         stage1 = (salted.groupBy(*KEY_COLS, "_salt")
-                  .agg(F.max_by(payload, _order_struct()).alias("w")))
-        stage1 = stage1.select(*KEY_COLS, "w.*")
-        winner = (stage1.groupBy(*KEY_COLS)
-                  .agg(F.max_by(payload, _order_struct()).alias("w")))
+                  .agg(F.max("_ord").alias("_ord")))
+        winners = (stage1.groupBy(*KEY_COLS)
+                   .agg(F.max("_ord").alias("_ord")))
     else:
-        winner = (events.groupBy(*KEY_COLS)
-                  .agg(F.max_by(payload, _order_struct()).alias("w")))
-    return winner.select(*KEY_COLS, "w.*")
+        winners = keys.groupBy(*KEY_COLS).agg(F.max("_ord").alias("_ord"))
+    if broadcast_winners:
+        winners = F.broadcast(winners)
+    full = events.withColumn("_ord", pack_ord())
+    joined = full.join(winners, on=[*KEY_COLS, "_ord"], how="inner")
+    # identical redelivered replicas share (key, _ord): keep one
+    return (joined.dropDuplicates(list(KEY_COLS))
+            .select(*_OUT_COLS))
 
 
 def reduce_changes(events: DataFrame, *, salt_buckets: int = 0,
-                   dedup: bool = False) -> DataFrame:
+                   dedup: bool = False,
+                   key_events: DataFrame | None = None,
+                   broadcast_winners: bool = True) -> DataFrame:
     """Full reduction: quarantine → [dedup] → tombstones → last-writer-wins.
 
     Output: one row per touched key with ``op`` in {I,U,D} — exactly the
@@ -96,17 +139,24 @@ def reduce_changes(events: DataFrame, *, salt_buckets: int = 0,
 
     ``dedup=False`` is the default ON PURPOSE: at-least-once redelivery
     produces byte-identical records with identical (log_file, log_pos,
-    seq_in_tx) order keys, so the ``max_by`` reduction already yields the
-    same winner — an explicit dropDuplicates would add a second full
-    shuffle of the event stream for no semantic gain (this is the
-    exactly-once argument: identical-replica idempotence here, batch-id
-    idempotence at the sink).  Set ``dedup=True`` only for streams that
-    can re-deliver *conflicting* payloads under one (gtid, seq)."""
+    seq_in_tx) order keys, so the winner join already yields the same
+    result — an explicit dropDuplicates would add a second full shuffle
+    of the event stream for no semantic gain (this is the exactly-once
+    argument: identical-replica idempotence here, batch-id idempotence at
+    the sink).  Set ``dedup=True`` only for streams that can re-deliver
+    *conflicting* payloads under one (gtid, seq)."""
     good, _bad = quarantine_bad_crc(events)
     if dedup:
         good = dedup_gtid(good)
     good = with_key_change_tombstones(good)
-    return last_writer_wins(good, salt_buckets=salt_buckets)
+    if key_events is not None:
+        key_good = key_events.filter(F.col("crc_ok"))
+        key_good = with_key_change_tombstones(key_good)
+    else:
+        key_good = None
+    return last_writer_wins(good, salt_buckets=salt_buckets,
+                            key_events=key_good,
+                            broadcast_winners=broadcast_winners)
 
 
 def flatten_extras(upserts: DataFrame) -> tuple[DataFrame, list[str]]:

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..decoder.chunks import chunks_df
-from ..decoder.kernel import decode_changes
+from ..decoder.kernel import decode_changes, decode_keys
 from ..lake.table import LakeTable
 from .pipeline import flatten_extras, reduce_changes
 
@@ -78,7 +78,11 @@ def replay(spark: SparkSession, dump_dir: str, table_root: str, *,
         cdf = spark.createDataFrame(spans, "dump_dir string, log_file string,"
                                     " chunk_off long, chunk_len long")
         events = decode_changes(cdf, partitions=partitions)
-        upserts = reduce_changes(events, salt_buckets=salt_buckets)
+        # late materialization: winner search runs on the cheap key-only
+        # decode; the full decode is joined against the winner set once
+        keys = decode_keys(cdf, partitions=partitions)
+        upserts = reduce_changes(events, salt_buckets=salt_buckets,
+                                 key_events=keys)
         # schema evolution: extras observed in this batch become real
         # columns; the MERGE widens the table schema accordingly
         upserts, _new_cols = flatten_extras(upserts)

