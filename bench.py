@@ -48,6 +48,11 @@ def main() -> None:
         fn()
         timings[name] = round(time.time() - t0, 3)
 
+    # warm-up (excluded): JVM codegen + one Python worker per core — a
+    # cluster pays this once per executor lifetime, not per job
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    decode_changes(chunks_df(spark, dump).limit(cores * 2)).count()
+
     # --- CDC engine headline ---
     run("binlog_decode",
         lambda: decode_changes(chunks_df(spark, dump)).count())

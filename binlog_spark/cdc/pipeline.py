@@ -159,21 +159,54 @@ def reduce_changes(events: DataFrame, *, salt_buckets: int = 0,
                             broadcast_winners=broadcast_winners)
 
 
-def flatten_extras(upserts: DataFrame) -> tuple[DataFrame, list[str]]:
+def flatten_extras(upserts: DataFrame,
+                   names: list[str] | None = None) -> tuple[DataFrame, list[str]]:
     """Promote schema-evolution extras (the ``extra_json`` map) to real
-    columns.  The distinct-key probe is a tiny aggregation over the already
-    reduced batch (one row per touched key), not the event stream."""
+    columns.
+
+    Pass ``names`` when known (see ``scan_extra_columns`` — a driver-side
+    TABLE_MAP scan); otherwise a distinct-key probe runs, which EXECUTES
+    the upsert pipeline once — fine for small streaming batches, wasteful
+    for big replays."""
     if "extra_json" not in upserts.columns:
         return upserts, []
-    names = sorted(
-        r[0] for r in upserts
-        .filter(F.col("extra_json").isNotNull())
-        .select(F.explode(F.json_object_keys("extra_json")))
-        .distinct().collect())
+    if names is None:
+        names = sorted(
+            r[0] for r in upserts
+            .filter(F.col("extra_json").isNotNull())
+            .select(F.explode(F.json_object_keys("extra_json")))
+            .distinct().collect())
     for n in names:
         upserts = upserts.withColumn(
             n, F.get_json_object("extra_json", f"$.{n}"))
     return upserts.drop("extra_json"), names
+
+
+BASE_COLS = (*KEY_COLS, *DATA_COLS)
+
+
+def scan_extra_columns(spans: list[tuple]) -> list[str]:
+    """Driver-side schema discovery: parse the TABLE_MAPs of the LAST
+    chunk span — column additions are monotonic (SURVEY §1.2), so the
+    newest TABLE_MAP carries the batch's widest schema.  Milliseconds vs
+    executing the distributed pipeline for a name probe."""
+    import os
+
+    from ..mysql.decode import Cur, iter_frames, parse_table_map
+    from .. import constants as C
+    if not spans:
+        return []
+    dump_dir, log_file, off, ln = spans[-1]
+    with open(os.path.join(dump_dir, log_file), "rb") as f:
+        f.seek(off)
+        data = f.read(ln)
+    extras: list[str] = []
+    for fr, _ in iter_frames(data, has_magic=off == 0, verify_crc=False):
+        if fr.event_type == C.TABLE_MAP_EVENT:
+            tme = parse_table_map(Cur(fr.body))
+            extras = [c.name for c in tme.columns
+                      if c.name and c.name not in BASE_COLS]
+    return sorted(set(extras))
 
 
 def final_state(upserts: DataFrame) -> DataFrame:

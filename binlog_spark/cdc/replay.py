@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from ..decoder.chunks import chunks_df
 from ..decoder.kernel import decode_changes, decode_keys
 from ..lake.table import LakeTable
-from .pipeline import flatten_extras, reduce_changes
+from .pipeline import flatten_extras, reduce_changes, scan_extra_columns
 
 
 def _batch_id(dump_dir: str, idx: int, spans: list) -> str:
@@ -84,8 +84,11 @@ def replay(spark: SparkSession, dump_dir: str, table_root: str, *,
         upserts = reduce_changes(events, salt_buckets=salt_buckets,
                                  key_events=keys)
         # schema evolution: extras observed in this batch become real
-        # columns; the MERGE widens the table schema accordingly
-        upserts, _new_cols = flatten_extras(upserts)
+        # columns; the MERGE widens the table schema accordingly.  Names
+        # come from a driver-side TABLE_MAP scan of the last chunk — never
+        # from executing the pipeline.
+        extra_names = scan_extra_columns(spans)
+        upserts, _new_cols = flatten_extras(upserts, names=extra_names)
         last_file = max(s[1] for s in spans)
         last_end = max(s[2] + s[3] for s in spans if s[1] == last_file)
         offsets = {"log_file": last_file, "next_pos": int(last_end)}

@@ -13,7 +13,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_SF_CHANGES = {"sf0.001": 4000, "sf0.01": 20000, "sf0.1": 100000}
+_SF_CHANGES = {"sf0.001": 4000, "sf0.01": 20000, "sf0.1": 400000}
 
 
 def _fixture_dir(sf_dir: str) -> tuple[str, int]:
