@@ -50,6 +50,26 @@ def binlog_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("repo", "path"))
 
 
+_SF_TYPED = {"sf0.001": 1000, "sf0.01": 4000, "sf0.1": 20000}
+
+
+def binlog_typed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic-table decode over a mixed-type fixture (all 17 column type
+    families through the distributed path); JSON row images."""
+    from ..decoder.chunks import chunks_df
+    from ..decoder.generic import decode_changes_generic
+    from ..mysql.gen_typed import generate_typed
+    from ..session import ship_package
+    ship_package(spark)
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
+    n = _SF_TYPED.get(sf, 4000)
+    d = f"/tmp/binlog_typed_{sf}_{n}"
+    if not os.path.exists(os.path.join(d, "manifest.json")):
+        generate_typed(d, n_changes=n)
+    return (decode_changes_generic(chunks_df(spark, d))
+            .orderBy("log_file", "log_pos", "seq_in_tx"))
+
+
 def binlog_decode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw decoded change-event stream (op mix + offsets), the decoder's
     public face."""

@@ -1,0 +1,68 @@
+"""MySQL binary-JSON (JSONB) decoder unit tests.
+
+Buffers handcrafted per the public JSONB storage format (the reference's
+decode semantics live at /root/reference/json.go:13-300): type marker +
+payload, small objects/arrays with 16-bit counts/offsets and inlined
+small scalars, 7-bit continuation string lengths.
+"""
+
+from __future__ import annotations
+
+import struct
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from binlog_spark.mysql.jsonb import decode_jsonb
+
+
+def test_scalars():
+    assert decode_jsonb(bytes([0x05]) + struct.pack("<h", -12345)) == -12345
+    assert decode_jsonb(bytes([0x06]) + struct.pack("<H", 65535)) == 65535
+    assert decode_jsonb(bytes([0x07]) + struct.pack("<i", -(2 ** 31))) == -(2 ** 31)
+    assert decode_jsonb(bytes([0x09]) + struct.pack("<q", 2 ** 62)) == 2 ** 62
+    assert decode_jsonb(bytes([0x0B]) + struct.pack("<d", 1.5)) == 1.5
+
+
+def test_literals():
+    assert decode_jsonb(bytes([0x04, 0x00])) is None
+    assert decode_jsonb(bytes([0x04, 0x01])) is True
+    assert decode_jsonb(bytes([0x04, 0x02])) is False
+
+
+def test_string_short_and_long():
+    assert decode_jsonb(bytes([0x0C, 2]) + b"hi") == "hi"
+    # long string: 200 bytes -> 2-byte continuation length (0xC8 0x01)
+    s = b"x" * 200
+    assert decode_jsonb(bytes([0x0C, 0xC8, 0x01]) + s) == "x" * 200
+
+
+def test_small_object():
+    # {"a": 5}
+    data = (struct.pack("<HH", 1, 12)          # count, size
+            + struct.pack("<HH", 11, 1)        # key offset, key length
+            + bytes([0x05]) + struct.pack("<h", 5)  # inlined int16 value
+            + b"a")
+    assert decode_jsonb(bytes([0x00]) + data) == {"a": 5}
+
+
+def test_small_array():
+    # [7, true]
+    data = (struct.pack("<HH", 2, 10)
+            + bytes([0x05]) + struct.pack("<h", 7)
+            + bytes([0x04, 0x01, 0x00]))
+    assert decode_jsonb(bytes([0x02]) + data) == [7, True]
+
+
+def test_array_with_out_of_line_string():
+    # ["hello"] — strings are not inlined: the value entry holds the type
+    # byte + an offset; at the offset lies the data WITHOUT a type marker
+    payload = bytes([5]) + b"hello"    # varlen + utf8
+    data = (struct.pack("<HH", 1, 7 + len(payload))
+            + bytes([0x0C]) + struct.pack("<H", 7)   # type, offset
+            + payload)
+    assert decode_jsonb(bytes([0x02]) + data) == ["hello"]
+
+
+def test_empty():
+    assert decode_jsonb(b"") is None
