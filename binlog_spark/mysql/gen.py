@@ -66,6 +66,9 @@ class GenConfig:
     #: mid-stream -> subsequent TABLE_MAPs carry 6 columns; the engine's
     #: schema-evolution trigger, SURVEY §1.2).  None = no evolution.
     evolve_at: int | None = None
+    #: fraction of UPDATEs aimed at ONE designated hot key — pathological
+    #: single-key skew (SURVEY §7 hard-parts #5).  0 = natural Zipf only.
+    hot_key_ratio: float = 0.0
 
 
 class ChangeScript:
@@ -129,7 +132,11 @@ class ChangeScript:
                 self.live_keys.append((repo, path))
                 yield Change("I", repo, path, *row)
             elif r < 0.85:
-                repo, path = self.rnd.choice(self.live_keys)
+                if (self.cfg.hot_key_ratio > 0
+                        and self.rnd.random() < self.cfg.hot_key_ratio):
+                    repo, path = self.live_keys[0]  # the designated hot key
+                else:
+                    repo, path = self.rnd.choice(self.live_keys)
                 old = self.live[(repo, path)]
                 row = (self._commit(), old[1], self._content(), self._branch())
                 self.live[(repo, path)] = row
