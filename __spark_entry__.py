@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": relational.sessionize_events,
         # --- text analysis (documents) ---
         "doc_token_stats": text.doc_token_stats,
+        "doc_bpe_tokens": text.doc_bpe_tokens,
         "doc_quality": text.doc_quality,
         "doc_langid": text.doc_langid,
         "doc_fingerprint": text.doc_fingerprint,
@@ -60,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search (embeddings) ---
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
         "embedding_neardup": similarity.embedding_neardup,
         # --- multimodal plumbing (binary columns) ---
         "mm_binary_metadata": multimodal.binary_metadata,
@@ -210,6 +212,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
                round(CAST(len(list_distinct(toks)) AS DOUBLE)
                      / len(toks), 4) AS uniq_ratio
+        FROM t ORDER BY doc_id
+    """
+
+    from binlog_spark.ops.text import BPE_PATTERN
+    sql["doc_bpe_tokens"] = f"""
+        WITH t AS (SELECT doc_id,
+                          string_split_regex(trim(text), '\\s+') AS ws,
+                          regexp_extract_all(text, '{BPE_PATTERN}') AS bpe
+                   FROM documents)
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_ws_tokens,
+               CAST(len(bpe) AS BIGINT) AS n_bpe_tokens,
+               CAST(len(list_distinct(bpe)) AS BIGINT) AS n_bpe_uniq,
+               round(CAST(len(bpe) AS DOUBLE) / len(ws), 4) AS bpe_per_ws
         FROM t ORDER BY doc_id
     """
 

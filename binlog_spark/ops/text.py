@@ -41,6 +41,29 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+#: the GPT-2-style split shape, kept to a regex subset both Spark (Java
+#: regex) and DuckDB (RE2) interpret identically.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish: regex pre-tokenization (letters / digits /
+    punctuation runs) alongside the whitespace count."""
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+    return (d.select("doc_id",
+                     F.size(toks).cast("long").alias("n_ws_tokens"),
+                     F.size(bpe).cast("long").alias("n_bpe_tokens"),
+                     F.size(F.array_distinct(bpe)).cast("long")
+                     .alias("n_bpe_uniq"))
+            .withColumn("bpe_per_ws",
+                        F.round(F.col("n_bpe_tokens")
+                                / F.col("n_ws_tokens"), 4))
+            .orderBy("doc_id"))
+
+
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/space/word-length heuristics → band."""
     d = _docs(spark, sf_dir)

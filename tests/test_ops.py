@@ -37,6 +37,24 @@ def test_lsh_cos_agrees_with_bruteforce(spark):
             assert abs(exact[key] - r.cos) < 1e-6
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with n_probe=4/16 cells must recover a solid fraction of the
+    exact top-3 (data-adaptive cells beat hash-lucky LSH)."""
+    from binlog_spark.ops.similarity import ann_bruteforce_topk, ann_ivf_topk
+    brute = {(r.q_id, r.vec_id)
+             for r in ann_bruteforce_topk(spark, SF, n_queries=5, k=3).collect()}
+    ivf = {(r.q_id, r.vec_id)
+           for r in ann_ivf_topk(spark, SF, n_queries=5, k=3).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    # and every IVF cosine is exact (candidate restriction only)
+    exact = {(r.q_id, r.vec_id): r.cos
+             for r in ann_bruteforce_topk(spark, SF, n_queries=5, k=100).collect()}
+    for r in ann_ivf_topk(spark, SF, n_queries=5, k=3).collect():
+        if (r.q_id, r.vec_id) in exact:
+            assert abs(exact[(r.q_id, r.vec_id)] - r.cos) < 1e-6
+
+
 def test_minhash_estimates_track_exact_jaccard(spark):
     from binlog_spark.ops.dedup import doc_minhash_dups, doc_ngram_jaccard
     est = {(r.doc_a, r.doc_b): r.est_jaccard
