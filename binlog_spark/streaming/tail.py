@@ -22,26 +22,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..cdc.pipeline import flatten_extras, reduce_changes
-from ..decoder.kernel import CHANGE_SCHEMA, decode_changes
+from ..decoder.kernel import CHANGE_SCHEMA, decode_changes, decode_keys
 from ..lake.table import LakeTable
 
 _BINARY_FILE_SCHEMA = ("path string, modificationTime timestamp, "
                        "length long, content binary")
 
 
-def stream_decoded(spark: SparkSession, dump_dir: str,
-                   max_files_per_trigger: int = 16) -> DataFrame:
-    """Streaming DataFrame of decoded change events from a staging dir."""
+def stream_blobs(spark: SparkSession, dump_dir: str,
+                 max_files_per_trigger: int = 16) -> DataFrame:
+    """Streaming DataFrame of raw binlog file blobs from a staging dir."""
     raw = (spark.readStream.format("binaryFile")
            .schema(_BINARY_FILE_SCHEMA)
            .option("pathGlobFilter", "binlog.*")
            .option("maxFilesPerTrigger", str(max_files_per_trigger))
            .load(dump_dir))
-    blobs = raw.select(
+    return raw.select(
         F.element_at(F.split("path", "/"), -1).alias("log_file"),
         F.lit(0).cast("long").alias("chunk_off"),
         F.col("content").alias("data"))
-    return decode_changes(blobs)
+
+
+def stream_decoded(spark: SparkSession, dump_dir: str,
+                   max_files_per_trigger: int = 16) -> DataFrame:
+    """Streaming DataFrame of decoded change events from a staging dir."""
+    return decode_changes(stream_blobs(spark, dump_dir,
+                                       max_files_per_trigger))
 
 
 def stream_apply(spark: SparkSession, dump_dir: str, table_root: str,
@@ -59,17 +65,23 @@ def stream_apply(spark: SparkSession, dump_dir: str, table_root: str,
     """
     table = LakeTable(table_root, n_buckets=n_buckets)
     table.create()
-    events = stream_decoded(spark, dump_dir)
+    blobs = stream_blobs(spark, dump_dir)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        upserts = reduce_changes(batch_df, salt_buckets=salt_buckets)
+        # the micro-batch is raw blobs: decode inside the batch so the
+        # winner search can use the cheap key-only pass (same late-
+        # materialization as batch replay)
+        events = decode_changes(batch_df)
+        keys = decode_keys(batch_df)
+        upserts = reduce_changes(events, salt_buckets=salt_buckets,
+                                 key_events=keys)
         upserts, _ = flatten_extras(upserts)
         snap = table.merge(spark, upserts,
                            batch_id=f"stream-{checkpoint_dir}-{batch_id}")
         if on_batch is not None:
             on_batch(batch_id, snap)
 
-    writer = (events.writeStream
+    writer = (blobs.writeStream
               .foreachBatch(apply_batch)
               .option("checkpointLocation", checkpoint_dir))
     if available_now:
