@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binlog_replay_state": binlog_demo.binlog_replay_state,
         "binlog_decode_events": binlog_demo.binlog_decode_events,
         "binlog_typed_decode": binlog_demo.binlog_typed_decode,
+        "binlog_multi_table": binlog_demo.binlog_multi_table,
         # --- CDC semantics with a SQL twin (events table) ---
         "cdc_dedup": cdc_events.cdc_dedup,
         "cdc_last_event": cdc_events.cdc_last_event,

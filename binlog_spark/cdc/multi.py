@@ -1,0 +1,233 @@
+"""Multi-table CDC replay: one binlog stream → N lake tables.
+
+The single-table path (cdc.replay) is specialized for the repo_files
+schema; this module replays a dump whose transactions touch *arbitrary*
+tables — the role of the reference's caller demultiplexing on
+``TableMapEvent.SchemaName/TableName`` (/root/reference/rbr.go:18-24,
+doc.go:47-56) — keyed by each table's PRIMARY KEY from the TABLE_MAP
+optional metadata (SIMPLE_PRIMARY_KEY TLV, /root/reference/rbr.go:99-150
+parses the same TLV stream).
+
+Scale shape:
+
+  * table discovery is a distributed frame scan over chunk spans that
+    emits only TABLE_MAP descriptors (bytes scanned ≫ rows emitted —
+    no row decode, no shuffle; a driver-side scan would serialize the
+    whole dump through one core)
+  * each batch decodes ONCE (generic decoder) and is staged to parquet
+    partitioned by (table_schema, table_name); per-table reductions then
+    read their own partition directories — the decode is never re-run
+    per table, and partition pruning makes each table's read touch only
+    its own files
+  * per-table reduction reuses the packed-order winner search
+    (cdc.pipeline.pack_ord): max(BIGINT) HashAggregate + broadcast join,
+    so payload bytes are never shuffled
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (IntegerType, StringType, StructField,
+                               StructType)
+
+from ..decoder.chunks import chunks_df
+from ..decoder.generic import decode_changes_generic
+from ..lake.table import LakeTable
+from .pipeline import pack_ord
+from .replay import _batch_id, plan_batches
+
+_REGISTRY_SCHEMA = StructType([
+    StructField("table_schema", StringType(), False),
+    StructField("table_name", StringType(), False),
+    StructField("columns_json", StringType(), False),
+    StructField("pk_json", StringType(), False),
+    StructField("ncol", IntegerType(), False),
+])
+
+
+def _scan_spans(batches):
+    """mapInArrow worker: chunk spans → one row per distinct TABLE_MAP."""
+    import pyarrow as pa
+
+    from .. import constants as C
+    from ..mysql.decode import Cur, iter_frames, parse_table_map
+    for rb in batches:
+        d = rb.to_pydict()
+        rows: dict[tuple, tuple] = {}
+        for dump_dir, log_file, off, ln in zip(
+                d["dump_dir"], d["log_file"], d["chunk_off"], d["chunk_len"]):
+            with open(os.path.join(dump_dir, log_file), "rb") as f:
+                f.seek(off)
+                data = f.read(ln)
+            seen: set[bytes] = set()
+            for fr, _ in iter_frames(data, has_magic=off == 0,
+                                     verify_crc=False):
+                if fr.event_type != C.TABLE_MAP_EVENT:
+                    continue
+                key = bytes(fr.body)
+                if key in seen:
+                    continue
+                seen.add(key)
+                tme = parse_table_map(Cur(key))
+                names = [c.name or f"@{i}"
+                         for i, c in enumerate(tme.columns)]
+                pk = [names[i] for i in tme.pk if i < len(names)]
+                rows[(tme.schema, tme.table, len(names))] = (
+                    tme.schema, tme.table, json.dumps(names),
+                    json.dumps(pk), len(names))
+        if rows:
+            cols = list(zip(*rows.values()))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[0], pa.string()), pa.array(cols[1], pa.string()),
+                 pa.array(cols[2], pa.string()), pa.array(cols[3], pa.string()),
+                 pa.array(cols[4], pa.int32())],
+                names=[f.name for f in _REGISTRY_SCHEMA.fields])
+
+
+def scan_table_registry(spark: SparkSession, chunks: DataFrame) -> dict:
+    """Discover every table in the dump: {(schema, table): {columns, pk}}.
+
+    Distributed; column additions are monotonic (SURVEY §1.2) so the
+    widest TABLE_MAP per table carries its newest schema."""
+    rows = chunks.mapInArrow(_scan_spans, _REGISTRY_SCHEMA).collect()
+    reg: dict[tuple, dict] = {}
+    for r in rows:
+        k = (r.table_schema, r.table_name)
+        cur = reg.get(k)
+        if cur is None or r.ncol > len(cur["columns"]):
+            reg[k] = {"columns": json.loads(r.columns_json),
+                      "pk": json.loads(r.pk_json)}
+    return reg
+
+
+_META = ("log_file", "log_pos", "seq_in_tx")
+
+
+def table_upserts(staged: DataFrame, columns: list[str],
+                  pk: list[str]) -> DataFrame:
+    """Generic-event rows of ONE table → reduced upsert batch keyed by pk.
+
+    All-declarative: one ``json_tuple`` parse per image, the key-change
+    tombstone explode of cdc.pipeline.with_key_change_tombstones
+    generalized to arbitrary keys, then the packed-order winner search."""
+    payload = [c for c in columns if c not in pk]
+    a_cols = [f"_a_{c}" for c in columns]
+    b_cols = [f"_b_{c}" for c in pk]
+    # json_tuple is a generator (one allowed per SELECT): two projections,
+    # each parsing its image exactly once
+    ev = staged.select(
+        "op", "gtid", "ts_sec", *_META, "before_json",
+        F.json_tuple(F.coalesce("after_json", F.lit("{}")), *columns)
+        .alias(*a_cols))
+    ev = ev.select(
+        "op", "gtid", "ts_sec", *_META, *a_cols,
+        F.json_tuple(F.coalesce("before_json", F.lit("{}")), *pk)
+        .alias(*b_cols))
+
+    out_cols = ["op", *pk, *payload, "gtid", "ts_sec", *_META]
+
+    def as_struct(**over: F.Column) -> F.Column:
+        fields = []
+        for c in out_cols:
+            if c in over:
+                col = over[c]
+            elif c in pk:
+                # D events carry only the before-image key
+                col = F.when(F.col("op") == "D", F.col(f"_b_{c}")) \
+                    .otherwise(F.col(f"_a_{c}"))
+            elif c in payload:
+                col = F.col(f"_a_{c}")
+            else:
+                col = F.col(c)
+            fields.append(col.alias(c))
+        return F.struct(*fields)
+
+    moved = F.col("op") == "U"
+    key_changed = F.lit(False)
+    for c in pk:
+        key_changed = key_changed | ~F.col(f"_b_{c}").eqNullSafe(
+            F.col(f"_a_{c}"))
+    moved = moved & key_changed
+    null_s = F.lit(None).cast("string")
+    tomb = {"op": F.lit("D"),
+            **{c: F.col(f"_b_{c}") for c in pk},
+            **{c: null_s for c in payload}}
+    arr = F.when(moved, F.array(as_struct(), as_struct(**tomb))) \
+        .otherwise(F.array(as_struct()))
+    events = ev.select(F.explode(arr).alias("r")).select("r.*")
+
+    keyed = events.withColumn("_ord", pack_ord())
+    winners = F.broadcast(
+        keyed.groupBy(*pk).agg(F.max("_ord").alias("_ord")))
+    return (keyed.join(winners, on=[*pk, "_ord"], how="inner")
+            .dropDuplicates(list(pk))
+            .select(*pk, "op", *payload, *_META, "gtid", "ts_sec"))
+
+
+def table_root(lake_root: str, schema: str, table: str) -> str:
+    return os.path.join(lake_root, f"{schema}.{table}")
+
+
+def replay_generic(spark: SparkSession, dump_dir: str, lake_root: str, *,
+                   chunks_per_batch: int | None = None,
+                   partitions: int | None = None,
+                   n_buckets: int = 8) -> dict:
+    """Replay a multi-table dump into one lake table per source table.
+
+    Same exactly-once contract as cdc.replay.replay: deterministic
+    batch_ids, per-table committed-batch skip, resumable mid-dump AND
+    mid-batch (a crash between two tables' merges re-runs the batch; the
+    already-committed table skips it)."""
+    all_chunks = [tuple(r) for r in chunks_df(spark, dump_dir).collect()]
+    cdf_all = spark.createDataFrame(
+        all_chunks, "dump_dir string, log_file string,"
+        " chunk_off long, chunk_len long")
+    registry = scan_table_registry(spark, cdf_all)
+    tables: dict[tuple, LakeTable] = {}
+    for (sch, tbl), info in sorted(registry.items()):
+        pk = info["pk"] or info["columns"][:1]  # keyless: first column
+        t = LakeTable(table_root(lake_root, sch, tbl), n_buckets=n_buckets,
+                      key_cols=tuple(pk))
+        t.create(schema_cols=list(pk) +
+                 [c for c in info["columns"] if c not in pk])
+        tables[(sch, tbl)] = t
+
+    for i, spans in enumerate(plan_batches(all_chunks, chunks_per_batch)):
+        bid = _batch_id(dump_dir, i, [s[1:] for s in spans])
+        if all(bid in t.committed_batch_ids() for t in tables.values()):
+            continue
+        cdf = spark.createDataFrame(spans, "dump_dir string, log_file string,"
+                                    " chunk_off long, chunk_len long")
+        events = decode_changes_generic(cdf, partitions=partitions)
+        staging = os.path.join(lake_root, f".batch-{bid}")
+        # ONE decode execution per batch: stage partitioned by table so
+        # every per-table reduction reads only its own partition dirs
+        (events.filter(F.col("crc_ok"))
+         .write.partitionBy("table_schema", "table_name")
+         .mode("overwrite").parquet(staging))
+        for (sch, tbl), t in sorted(tables.items()):
+            if bid in t.committed_batch_ids():
+                continue
+            part = os.path.join(staging, f"table_schema={sch}",
+                                f"table_name={tbl}")
+            if not os.path.isdir(part):
+                t.merge(spark, spark.range(0).selectExpr(
+                    *[f"cast(null as string) as `{c}`"
+                      for c in t.key_cols]).filter("false"),
+                    batch_id=bid)
+                continue
+            info = registry[(sch, tbl)]
+            pk = list(t.key_cols)
+            up = table_upserts(spark.read.parquet(part),
+                               info["columns"], pk)
+            last_file = max(s[1] for s in spans)
+            last_end = max(s[2] + s[3] for s in spans if s[1] == last_file)
+            t.merge(spark, up, batch_id=bid,
+                    offsets={"log_file": last_file, "next_pos": int(last_end)})
+        shutil.rmtree(staging, ignore_errors=True)
+    return tables

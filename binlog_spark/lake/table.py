@@ -45,11 +45,22 @@ class CommitConflict(Exception):
 
 
 class LakeTable:
-    def __init__(self, root: str, n_buckets: int = 32) -> None:
+    def __init__(self, root: str, n_buckets: int = 32,
+                 key_cols: tuple | list | None = None) -> None:
         self.root = root
         self.n_buckets = n_buckets
         self.snap_dir = os.path.join(root, "snapshots")
         self.data_dir = os.path.join(root, "data")
+        # key columns are a table property: an existing table's snapshot log
+        # wins over the constructor arg (which then only seeds creation)
+        self._key_cols = tuple(key_cols) if key_cols else None
+
+    @property
+    def key_cols(self) -> tuple:
+        snap = self.snapshot()
+        if snap and snap.get("key_cols"):
+            return tuple(snap["key_cols"])
+        return self._key_cols or KEY_COLS
 
     # -- snapshot log -------------------------------------------------------
 
@@ -97,9 +108,13 @@ class LakeTable:
         os.makedirs(self.snap_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
         if self._current_pointer() is None:
+            kc = self._key_cols or KEY_COLS
+            default_schema = (list(kc) + [c for c in DATA_COLS if c not in kc]
+                              if self._key_cols else list((*KEY_COLS, *DATA_COLS)))
             self._commit_snapshot({
                 "snapshot_id": 0, "parent": None, "batch_id": None,
-                "schema": list(schema_cols or (*KEY_COLS, *DATA_COLS)),
+                "schema": list(schema_cols or default_schema),
+                "key_cols": list(kc),
                 "buckets": {}, "offsets": None,
                 "stats": {"rows": 0}, "committed_at": time.time(),
             })
@@ -143,7 +158,8 @@ class LakeTable:
     # -- MERGE --------------------------------------------------------------
 
     def _bucket_col(self) -> F.Column:
-        return F.pmod(F.xxhash64(*KEY_COLS), F.lit(self.n_buckets)).cast("int")
+        return F.pmod(F.xxhash64(*self.key_cols),
+                      F.lit(self.n_buckets)).cast("int")
 
     @staticmethod
     def _bucket_files(out_dir: str) -> dict[int, list[str]]:
@@ -261,7 +277,7 @@ class LakeTable:
                 combined = old.unionByName(staged)
                 payload = F.struct(*all_cols)
                 order = F.struct("log_file", "log_pos", "seq_in_tx")
-                merged = (combined.groupBy(*KEY_COLS)
+                merged = (combined.groupBy(*self.key_cols)
                           .agg(F.max_by(payload, order).alias("w"))
                           .select("w.*")
                           .withColumn("bucket", self._bucket_col()))
@@ -290,6 +306,7 @@ class LakeTable:
             "parent": snap["snapshot_id"] if snap["snapshot_id"] >= 0 else None,
             "batch_id": batch_id,
             "schema": schema_cols,
+            "key_cols": list(self.key_cols),
             "buckets": new_buckets,
             "offsets": offsets,
             "stats": {"upserts": n_up, "deletes": n_del,
@@ -329,6 +346,7 @@ class LakeTable:
             "parent": snap["snapshot_id"],
             "batch_id": f"compact-{commit_id}",
             "schema": schema_cols,
+            "key_cols": list(self.key_cols),
             "buckets": {str(b): fl for b, fl in by_bucket.items()},
             "offsets": snap.get("offsets"),
             "stats": {"compacted_from_files": len(files),

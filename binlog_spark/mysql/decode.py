@@ -169,6 +169,10 @@ class TableMap:
     schema: str
     table: str
     columns: list[Col]
+    #: primary-key column ordinals from optional metadata TLV 8/9
+    #: (SIMPLE_PRIMARY_KEY / PRIMARY_KEY_WITH_PREFIX); empty when the
+    #: binlog was written without FULL row metadata
+    pk: tuple = ()
 
 
 @dataclass
@@ -439,6 +443,7 @@ def parse_table_map(cur: Cur) -> TableMap:
         c.nullable = bitmap_is_set(nullable, i)
 
     # extended metadata TLVs (/root/reference/rbr.go:99-150)
+    pk: list[int] = []
     while cur.more():
         typ = cur.int1()
         size = cur.lenenc()
@@ -483,13 +488,20 @@ def parse_table_map(cur: Cur) -> TableMap:
             for c in cols:
                 if c.type in (C.TYPE_ENUM, C.TYPE_SET) and c.charset == 0:
                     c.charset = def_charset
+        elif typ == 8:  # SIMPLE_PRIMARY_KEY: lenenc column ordinals
+            while cur.pos < endp:
+                pk.append(cur.lenenc())
+        elif typ == 9:  # PRIMARY_KEY_WITH_PREFIX: (ordinal, prefix_len) pairs
+            while cur.pos < endp:
+                pk.append(cur.lenenc())
+                cur.lenenc()  # prefix length — irrelevant for key identity
         elif typ == 11:
             for c in cols:
                 if c.type in (C.TYPE_ENUM, C.TYPE_SET):
                     c.charset = cur.lenenc()
         else:
             cur.skip(size)
-    return TableMap(table_id, schema, table, cols)
+    return TableMap(table_id, schema, table, cols, tuple(pk))
 
 
 def parse_rows_event(cur: Cur, event_type: int, fde: Fde,

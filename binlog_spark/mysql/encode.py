@@ -355,7 +355,8 @@ def rotate_body(next_file: str, position: int = 4) -> bytes:
 
 
 def table_map_body(table_id: int, schema: str, table: str,
-                   columns: Sequence[ColumnDef], full_metadata: bool = True) -> bytes:
+                   columns: Sequence[ColumnDef], full_metadata: bool = True,
+                   pk: Sequence[int] = ()) -> bytes:
     """TABLE_MAP body with FULL row metadata
     (layout: /root/reference/rbr.go:45-153)."""
     out = bytearray()
@@ -412,6 +413,12 @@ def table_map_body(table_id: int, schema: str, table: str,
                         vb = v.encode()
                         payload += lenenc_int(len(vb)) + vb
                 out += int1(tlv) + lenenc_int(len(payload)) + payload
+        # TLV 8: SIMPLE_PRIMARY_KEY — lenenc column ordinals
+        if pk:
+            payload = bytearray()
+            for i in pk:
+                payload += lenenc_int(i)
+            out += int1(8) + lenenc_int(len(payload)) + payload
     return bytes(out)
 
 

@@ -231,14 +231,17 @@ class BinlogWriter:
                                                 Sequence[Sequence[Any]] | None]],
                           columns: Sequence[E.ColumnDef],
                           table_id: int = 100,
-                          table: str = TABLE) -> None:
+                          table: str = TABLE,
+                          schema: str = SCHEMA,
+                          pk: Sequence[int] = ()) -> None:
         """stmts: list of (rows_event_type, rows, before_rows)."""
         self.ts += 1
         self._emit(C.GTID_EVENT, E.gtid_body(sid, gno))
-        self._emit(C.QUERY_EVENT, E.query_body(SCHEMA, "BEGIN"))
+        self._emit(C.QUERY_EVENT, E.query_body(schema, "BEGIN"))
         for ev_type, rows, before in stmts:
             self._emit(C.TABLE_MAP_EVENT,
-                       E.table_map_body(table_id, SCHEMA, table, columns))
+                       E.table_map_body(table_id, schema, table, columns,
+                                        pk=pk))
             self._emit(ev_type, E.rows_body(ev_type, table_id, columns, rows, before))
         self._emit(C.XID_EVENT, E.xid_body(gno))
         self.manifest.n_transactions += 1

@@ -1,0 +1,177 @@
+"""Multi-table fixture: one binlog stream interleaving several tables.
+
+Exercises the demultiplexing path of cdc.multi.replay_generic — the
+reference decodes any table a TABLE_MAP announces
+(/root/reference/rbr.go:18-24); this fixture emits transactions against
+three tables with distinct schemas and PRIMARY KEYs (single-column INT,
+composite, and VARCHAR), including key-moving updates and deletes.
+
+Deterministic under (seed, n_changes); the companion ``apply_multi``
+oracle replays the same dump single-threaded per table.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+
+from .. import constants as C
+from . import encode as E
+from .gen import BinlogWriter, GenConfig
+from .oracle import iter_change_records
+
+DB = "inventory"
+
+#: table -> (columns, pk ordinals)
+TABLES: dict[str, tuple[list, tuple[int, ...]]] = {
+    "users": ([
+        E.ColumnDef("id", C.TYPE_LONG, nullable=False),
+        E.varchar("name", 40, nullable=False),
+        E.varchar("email", 80),
+    ], (0,)),
+    "order_lines": ([
+        E.ColumnDef("order_id", C.TYPE_LONG, nullable=False),
+        E.ColumnDef("line_no", C.TYPE_SHORT, nullable=False),
+        E.varchar("item", 40, nullable=False),
+        E.ColumnDef("qty", C.TYPE_LONG),
+    ], (0, 1)),
+    "settings": ([
+        E.varchar("key", 60, nullable=False),
+        E.varchar("value", 200),
+    ], (0,)),
+}
+
+_TABLE_IDS = {name: 300 + i for i, name in enumerate(TABLES)}
+
+
+def _new_row(rnd: random.Random, table: str, uid: int) -> tuple:
+    if table == "users":
+        return (uid, f"user-{uid}", f"u{uid}@example.com")
+    if table == "order_lines":
+        return (uid // 4, uid % 4, f"item-{rnd.randrange(50)}",
+                rnd.randrange(1, 9))
+    return (f"key-{uid}", f"value-{rnd.randrange(1000)}")
+
+
+def _mutate(rnd: random.Random, table: str, row: tuple) -> tuple:
+    """Non-key mutation."""
+    if table == "users":
+        return (row[0], row[1], f"u{row[0]}+{rnd.randrange(100)}@example.com")
+    if table == "order_lines":
+        return (*row[:3], rnd.randrange(1, 99))
+    return (row[0], f"value-{rnd.randrange(1000)}")
+
+
+def _move_key(table: str, row: tuple, uid: int) -> tuple:
+    """Key-changing mutation (forces an old-key tombstone downstream)."""
+    if table == "users":
+        return (uid, *row[1:])
+    if table == "order_lines":
+        return (uid // 4, uid % 4, *row[2:])
+    return (f"key-{uid}", *row[1:])
+
+
+def generate_multi(out_dir: str, n_changes: int = 3000,
+                   seed: int = 11) -> dict:
+    rnd = random.Random(seed)
+    cfg = GenConfig(n_changes=n_changes)
+    w = BinlogWriter(out_dir, cfg, chunk_target=64 << 10)
+    w._open_file()
+    sid = bytes(range(16))
+    live: dict[str, dict[tuple, tuple]] = {t: {} for t in TABLES}
+    uid = 0
+    gno = 0
+    emitted = 0
+    while emitted < n_changes:
+        gno += 1
+        table = rnd.choice(list(TABLES))
+        cols, pk = TABLES[table]
+        keys = list(live[table])
+        stmts = []
+        for _ in range(rnd.randrange(1, 4)):
+            if emitted >= n_changes:
+                break
+            roll = rnd.random()
+            if not keys or roll < 0.5:
+                uid += 1
+                row = _new_row(rnd, table, uid)
+                k = tuple(row[i] for i in pk)
+                if k in live[table]:
+                    continue
+                live[table][k] = row
+                keys.append(k)
+                stmts.append((C.WRITE_ROWS_EVENTv2, [row], None))
+            elif roll < 0.8:
+                k = rnd.choice(keys)
+                before = live[table][k]
+                if rnd.random() < 0.15:  # key move
+                    uid += 1
+                    after = _move_key(table, before, uid)
+                    nk = tuple(after[i] for i in pk)
+                    if nk in live[table]:
+                        continue
+                    del live[table][k]
+                    keys.remove(k)
+                    live[table][nk] = after
+                    keys.append(nk)
+                else:
+                    after = _mutate(rnd, table, before)
+                    live[table][k] = after
+                stmts.append((C.UPDATE_ROWS_EVENTv2, [after], [before]))
+            else:
+                k = rnd.choice(keys)
+                before = live[table].pop(k)
+                keys.remove(k)
+                stmts.append((C.DELETE_ROWS_EVENTv2, [before], None))
+            emitted += 1
+        if stmts:
+            w.write_transaction(sid, gno, stmts, cols, schema=DB,
+                                table_id=_TABLE_IDS[table], table=table,
+                                pk=pk)
+    w.close()
+    man = {"n_changes": emitted, "n_transactions": w.manifest.n_transactions,
+           "files": w.manifest.files,
+           "chunks": [list(c) for c in w.manifest.chunks]}
+    import os
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(man, f)
+    return man
+
+
+def render(v) -> str | None:
+    """Render a decoded value exactly as Spark's json_tuple sees it after
+    the generic decoder's JSON image rendering."""
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return v
+    return json.dumps(v)
+
+
+def apply_multi(dump_dir: str) -> dict[tuple, dict[tuple, dict]]:
+    """Sequential oracle: {(schema, table): {pk_values: {col: str}}}.
+
+    Keys each table by the pk NAMES parsed from its TABLE_MAP (TLV 8) —
+    independently of the generator's table definitions."""
+    pk_names = {t: tuple(TABLES[t][0][i].name for i in TABLES[t][1])
+                for t in TABLES}
+    state: dict[tuple, dict[tuple, dict]] = {}
+    for r in iter_change_records(dump_dir):
+        cols = list(r.columns)
+        pks = pk_names[r.table_name]
+        tkey = (r.table_schema, r.table_name)
+        tbl = state.setdefault(tkey, {})
+
+        def key_of(img):
+            return tuple(render(img[cols.index(p)]) for p in pks)
+
+        if r.op == "I":
+            tbl[key_of(r.after)] = dict(zip(cols, map(render, r.after)))
+        elif r.op == "D":
+            tbl.pop(key_of(r.before), None)
+        else:
+            bk, ak = key_of(r.before), key_of(r.after)
+            if bk != ak:
+                tbl.pop(bk, None)
+            tbl[ak] = dict(zip(cols, map(render, r.after)))
+    return state

@@ -84,3 +84,38 @@ def binlog_decode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("log_pos").alias("max_pos"),
                  F.countDistinct("gtid").alias("n_tx"))
             .orderBy("log_file", "op"))
+
+
+_SF_MULTI = {"sf0.001": 1500, "sf0.01": 6000, "sf0.1": 30000}
+
+
+def binlog_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table replay: one stream demultiplexed into one lake table per
+    source table, keyed by each table's TABLE_MAP primary key (cdc.multi).
+    Returns the union of all final table states as (schema, table,
+    pk_json, row_json) — deterministic under the seeded fixture."""
+    import json
+    import shutil
+
+    from ..cdc.multi import replay_generic
+    from ..mysql.gen_multi import generate_multi
+    from ..session import ship_package
+    ship_package(spark)
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
+    n = _SF_MULTI.get(sf, 6000)
+    d = f"/tmp/binlog_multi_{sf}_{n}"
+    if not os.path.exists(os.path.join(d, "manifest.json")):
+        generate_multi(d, n_changes=n)
+    lake = f"{d}_lake"
+    shutil.rmtree(lake, ignore_errors=True)
+    tables = replay_generic(spark, d, lake, chunks_per_batch=16)
+    out = None
+    for (sch, tbl), t in sorted(tables.items()):
+        pk = list(t.key_cols)
+        cols = t.read(spark).columns
+        df = t.read(spark).select(
+            F.lit(sch).alias("table_schema"), F.lit(tbl).alias("table_name"),
+            F.to_json(F.struct(*pk)).alias("pk_json"),
+            F.to_json(F.struct(*cols)).alias("row_json"))
+        out = df if out is None else out.unionByName(df)
+    return out.orderBy("table_schema", "table_name", "pk_json")

@@ -1,0 +1,67 @@
+"""Multi-table replay: one stream → N lake tables, keyed by TABLE_MAP PK.
+
+Parity model: the reference decodes whatever table each TABLE_MAP
+announces (/root/reference/rbr.go:18-24); apply semantics are the
+sequential oracle in mysql.gen_multi.apply_multi.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from binlog_spark.cdc.multi import (replay_generic, scan_table_registry,
+                                    table_root)
+from binlog_spark.decoder.chunks import chunks_df
+from binlog_spark.lake.table import LakeTable
+from binlog_spark.mysql.gen_multi import TABLES, apply_multi, generate_multi
+
+
+@pytest.fixture(scope="module")
+def dump(tmp_path_factory):
+    d = tmp_path_factory.mktemp("multidump")
+    generate_multi(str(d), n_changes=2500, seed=11)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def oracle_state(dump):
+    return apply_multi(dump)
+
+
+def _lake_state(spark, t: LakeTable) -> dict:
+    pk = list(t.key_cols)
+    out = {}
+    for r in t.read(spark).collect():
+        out[tuple(r[c] for c in pk)] = {c: r[c] for c in r.asDict()}
+    return out
+
+
+def test_registry_parses_pk_from_tlv8(spark, dump):
+    reg = scan_table_registry(spark, chunks_df(spark, dump))
+    assert set(reg) == {("inventory", t) for t in TABLES}
+    for t, (cols, pk) in TABLES.items():
+        info = reg[("inventory", t)]
+        assert info["columns"] == [c.name for c in cols]
+        assert info["pk"] == [cols[i].name for i in pk]
+
+
+def test_replay_matches_sequential_oracle(spark, dump, oracle_state, tmp_path):
+    lake = str(tmp_path / "lake")
+    tables = replay_generic(spark, dump, lake, chunks_per_batch=8)
+    assert set(tables) == set(oracle_state)
+    for tkey, want in oracle_state.items():
+        got = _lake_state(spark, tables[tkey])
+        assert len(got) == len(want), tkey
+        assert got == want, tkey
+
+
+def test_replay_generic_is_idempotent(spark, dump, oracle_state, tmp_path):
+    lake = str(tmp_path / "lake2")
+    replay_generic(spark, dump, lake, chunks_per_batch=8)
+    t = LakeTable(table_root(lake, "inventory", "users"))
+    sid = t.current_snapshot_id()
+    # second run: every batch already committed → zero new snapshots
+    replay_generic(spark, dump, lake, chunks_per_batch=8)
+    assert t.current_snapshot_id() == sid
+    got = _lake_state(spark, t)
+    assert got == oracle_state[("inventory", "users")]
