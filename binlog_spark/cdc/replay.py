@@ -62,8 +62,16 @@ def write_lineage(events: DataFrame, table_root: str, batch_id: str) -> dict:
 def replay(spark: SparkSession, dump_dir: str, table_root: str, *,
            chunks_per_batch: int | None = None, salt_buckets: int = 0,
            n_buckets: int = 32, partitions: int | None = None,
-           lineage: bool = True) -> LakeTable:
-    """Replay a dump dir into a lake table; safe to re-run (idempotent)."""
+           lineage: bool = True,
+           compact_every: int | None = None,
+           compact_tombstone_ratio: float | None = None) -> LakeTable:
+    """Replay a dump dir into a lake table; safe to re-run (idempotent).
+
+    ``compact_every`` / ``compact_tombstone_ratio``: retention policy —
+    after each committed batch the table compacts when N commits have
+    accumulated since the last compact, or when persisted tombstones
+    exceed the given fraction of live rows (see LakeTable.maybe_compact).
+    """
     table = LakeTable(table_root, n_buckets=n_buckets)
     table.create()
     all_chunks = [tuple(r) for r in
@@ -98,6 +106,9 @@ def replay(spark: SparkSession, dump_dir: str, table_root: str, *,
         metrics = write_lineage(events, table_root, bid) if lineage else {}
         snap = table.merge(spark, upserts, batch_id=bid, offsets=offsets)
         snap.setdefault("stats", {}).update(metrics)
+        if compact_every or compact_tombstone_ratio:
+            table.maybe_compact(spark, every_n_commits=compact_every,
+                                tombstone_ratio=compact_tombstone_ratio)
     return table
 
 

@@ -317,6 +317,51 @@ class LakeTable:
         self._commit_snapshot(new_snap)
         return new_snap
 
+    def tombstone_stats(self) -> dict:
+        """Cumulative tombstones persisted since the last compact — the
+        retention signal (a compact rewrites everything, so its snapshot
+        resets the counter)."""
+        snaps = self.snapshots()
+        dead = live = 0
+        for s in snaps:
+            if str(s.get("batch_id") or "").startswith("compact-"):
+                dead = 0
+            st = s.get("stats", {})
+            dead += int(st.get("deletes") or 0)
+            live = int(st.get("upserts") or live)
+        return {"tombstones": dead, "commits": len(snaps) - 1}
+
+    def maybe_compact(self, spark: SparkSession, *,
+                      every_n_commits: int | None = None,
+                      tombstone_ratio: float | None = None) -> dict | None:
+        """Retention policy: compact when either trigger fires.
+
+        ``every_n_commits``: commits since the last compact (bounds small-
+        file growth).  ``tombstone_ratio``: persisted-tombstones vs rows in
+        the latest merge (bounds delete-bloat; role of the reference's
+        RemoveFirstFile retention loop, /root/reference/local.go:76-93,
+        generalized to the lake sink)."""
+        snaps = self.snapshots()
+        since = 0
+        for s in snaps[1:]:
+            if str(s.get("batch_id") or "").startswith("compact-"):
+                since = 0
+            else:
+                since += 1
+        if every_n_commits and since >= every_n_commits:
+            return self.compact(spark)
+        if tombstone_ratio:
+            ts = self.tombstone_stats()
+            base = max(ts["tombstones"] + self._approx_rows(), 1)
+            if ts["tombstones"] / base >= tombstone_ratio:
+                return self.compact(spark)
+        return None
+
+    def _approx_rows(self) -> int:
+        snap = self.snapshot() or {}
+        return int(snap.get("stats", {}).get("upserts")
+                   or snap.get("stats", {}).get("rows") or 0)
+
     def compact(self, spark: SparkSession, drop_tombstones: bool = True,
                 target_buckets: int | None = None) -> dict:
         """Rewrite all buckets into one file set: drops delete tombstones

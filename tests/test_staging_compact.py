@@ -62,3 +62,39 @@ def test_compact_preserves_state(spark, dump_dir, tmp_path):
     raw = spark.read.option("mergeSchema", "true").parquet(
         *[f for fl in snap["buckets"].values() for f in fl])
     assert raw.count() == table.read(spark).count()
+
+
+def test_retention_policy_autocompacts(spark, dump_dir, tmp_path):
+    """compact_every: replay compacts mid-stream and still matches the
+    sequential oracle; tombstones are dropped by the final compact."""
+    root = str(tmp_path / "rlake")
+    table = replay(spark, dump_dir, root, chunks_per_batch=10, n_buckets=8,
+                   compact_every=3)
+    batches = [s for s in table.snapshots() if s.get("batch_id")]
+    compacts = [s for s in batches
+                if str(s["batch_id"]).startswith("compact-")]
+    assert compacts, "policy never fired"
+    # non-compact commits between consecutive compacts never exceed the bound
+    run = 0
+    for s in batches:
+        if str(s["batch_id"]).startswith("compact-"):
+            run = 0
+        else:
+            run += 1
+            assert run <= 3
+    want = oracle.state_digest(oracle.final_state(dump_dir))
+    assert state_fingerprint(table.read(spark)) == want
+
+
+def test_retention_tombstone_ratio(spark, dump_dir, tmp_path):
+    root = str(tmp_path / "rlake2")
+    table = replay(spark, dump_dir, root, chunks_per_batch=10, n_buckets=8)
+    stats = table.tombstone_stats()
+    assert stats["tombstones"] >= 0 and stats["commits"] > 0
+    # ratio=0+epsilon with any tombstones → compacts; state preserved
+    before = state_fingerprint(table.read(spark))
+    snap = table.maybe_compact(spark, tombstone_ratio=1e-9)
+    if stats["tombstones"]:
+        assert snap is not None
+        assert table.tombstone_stats()["tombstones"] == 0
+    assert state_fingerprint(table.read(spark)) == before
