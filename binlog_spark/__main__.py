@@ -4,6 +4,7 @@
     python -m binlog_spark view DIR [--limit N]
     python -m binlog_spark stage DIR OUT              # dump sink (A31)
     python -m binlog_spark replay DIR LAKE [...]      # batch replay
+    python -m binlog_spark replay-multi DIR LAKEROOT  # 1 stream -> N tables
     python -m binlog_spark stream DIR LAKE CKPT [...] # streaming tail
     python -m binlog_spark status LAKE                # MasterStatus (A7/A8)
     python -m binlog_spark compact LAKE
@@ -62,6 +63,20 @@ def cmd_replay(args) -> None:
                             n_buckets=args.buckets,
                             salt_buckets=args.salt)
     print(json.dumps(res))
+
+
+def cmd_replay_multi(args) -> None:
+    from .cdc.multi import replay_generic
+    spark = _spark(args)
+    tables = replay_generic(spark, args.dir, args.lake,
+                            chunks_per_batch=args.batch_chunks,
+                            n_buckets=args.buckets)
+    out = {f"{sch}.{tbl}": {"root": t.root,
+                            "key_cols": list(t.key_cols),
+                            "snapshot": t.current_snapshot_id(),
+                            "rows": t.read(spark).count()}
+           for (sch, tbl), t in sorted(tables.items())}
+    print(json.dumps(out))
 
 
 def cmd_stream(args) -> None:
@@ -132,6 +147,15 @@ def main(argv: list[str] | None = None) -> None:
     r.add_argument("--buckets", type=int, default=32)
     r.add_argument("--salt", type=int, default=0)
     r.set_defaults(fn=cmd_replay)
+
+    rm = sub.add_parser("replay-multi",
+                        help="demux one dump into one lake table per source"
+                             " table (PK from TABLE_MAP metadata)")
+    rm.add_argument("dir")
+    rm.add_argument("lake")
+    rm.add_argument("--batch-chunks", type=int, default=None)
+    rm.add_argument("--buckets", type=int, default=8)
+    rm.set_defaults(fn=cmd_replay_multi)
 
     st = sub.add_parser("stream", help="stream staging dir -> lake table")
     st.add_argument("dir")

@@ -36,7 +36,7 @@ def ship_package(spark: SparkSession) -> str:
 def get_spark(app: str = "binlog-spark", cores: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     if cores is None:
-        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or os.cpu_count() or 8)
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
     return (
