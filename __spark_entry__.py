@@ -31,9 +31,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- the CDC engine itself (rows-only: input is binlog bytes) ---
+        # --- the CDC engine itself (oracles: golden parquet written by the
+        # fixture generator / sequential oracle, read via read_parquet) ---
         "binlog_replay_state": binlog_demo.binlog_replay_state,
         "binlog_decode_events": binlog_demo.binlog_decode_events,
+        "binlog_events_full": binlog_demo.binlog_events_full,
         "binlog_typed_decode": binlog_demo.binlog_typed_decode,
         "binlog_multi_table": binlog_demo.binlog_multi_table,
         # --- CDC semantics with a SQL twin (events table) ---
@@ -70,8 +72,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _oracle_sf_dir() -> str:
+    """The scale the driver's correctness gate runs at (sf0.01); local
+    harnesses (tools/check_contract.py) override via env."""
+    return os.environ.get("SPARK_GRAFT_CORRECTNESS_SF",
+                          "/root/testdata/sf0.01")
+
+
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    # --- CDC engine: golden-parquet oracles.  golden_state/golden_events
+    # are GENERATOR-side truth (the change script's live state and the
+    # writer's emission log — mysql/gen.py:write_goldens), fully
+    # independent of the decoder; golden_typed is the sequential
+    # single-threaded oracle pass (mysql/gen_typed.py:write_typed_golden);
+    # golden_multi is the multi-table script's live state
+    # (mysql/gen_multi.py:write_multi_golden).
+    from binlog_spark.ops import binlog_demo
+    g = binlog_demo.golden_paths(_oracle_sf_dir())
+
+    sql["binlog_replay_state"] = f"""
+        SELECT repo, path, commit, lang, content_sha256
+        FROM read_parquet('{g["state"]}') ORDER BY repo, path
+    """
+
+    sql["binlog_decode_events"] = f"""
+        SELECT op, log_file, count(*) AS n_events,
+               max(log_pos) AS max_pos,
+               count(DISTINCT gtid) AS n_tx
+        FROM read_parquet('{g["events"]}')
+        GROUP BY op, log_file ORDER BY log_file, op
+    """
+
+    sql["binlog_events_full"] = f"""
+        SELECT op, repo, path, before_repo, before_path, commit, lang,
+               content_sha256, gtid, seq_in_tx, log_file, log_pos, ts_sec
+        FROM read_parquet('{g["events"]}')
+        ORDER BY log_file, log_pos, seq_in_tx
+    """
+
+    sql["binlog_typed_decode"] = f"""
+        SELECT op, table_schema, table_name, before_json, after_json,
+               gtid, seq_in_tx, log_file, log_pos, ts_sec, crc_ok
+        FROM read_parquet('{g["typed"]}')
+        ORDER BY log_file, log_pos, seq_in_tx
+    """
+
+    sql["binlog_multi_table"] = f"""
+        SELECT table_schema, table_name, pk_json, row_json
+        FROM read_parquet('{g["multi"]}')
+        ORDER BY table_schema, table_name, pk_json
+    """
 
     sql["cdc_dedup"] = """
         SELECT user_id, event_type, event_id, round(value, 4) AS value

@@ -72,11 +72,28 @@ def with_key_change_tombstones(events: DataFrame) -> DataFrame:
 #: forces SortAggregate in Spark).  Bounds: ≤262k binlog files, ≤1 GiB per
 #: file, seq clamped at 32767 (ties beyond that break arbitrarily — only
 #: reachable for >32k-row single-key transactions).
-def pack_ord() -> F.Column:
+def pack_ord(*, strict: bool = True) -> F.Column:
+    """``strict=True`` (the CDC pipeline): an out-of-bounds offset —
+    log_pos ≥ 2^30 (a >1 GiB binlog file, possible when a huge transaction
+    overruns max_binlog_size), ≥262k files, or a log_file without a numeric
+    suffix — raises instead of silently corrupting the winner order or
+    dropping the row via a null key.  ``strict=False`` (lake MERGE over
+    rows that may predate CDC metadata): invalid offsets pack to 0, the
+    lowest order, so such rows lose to any real CDC row but are never
+    dropped."""
     file_no = F.regexp_extract("log_file", r"(\d+)$", 1).cast("long")
     seq = F.least(F.col("seq_in_tx").cast("long"), F.lit(32767))
-    return (F.shiftleft(file_no, 45)
-            + F.shiftleft(F.col("log_pos"), 15) + seq).alias("_ord")
+    packed = (F.shiftleft(file_no, 45)
+              + F.shiftleft(F.col("log_pos"), 15) + seq)
+    valid = (file_no.isNotNull() & (file_no < F.lit(1 << 18))
+             & (F.col("log_pos") >= 0) & (F.col("log_pos") < F.lit(1 << 30)))
+    if strict:
+        err = F.raise_error(F.concat(
+            F.lit("pack_ord: offset outside packable bounds: "),
+            F.coalesce(F.col("log_file"), F.lit("<null>")), F.lit(":"),
+            F.col("log_pos").cast("string"))).cast("long")
+        return F.when(valid, packed).otherwise(err).alias("_ord")
+    return F.when(valid, packed).otherwise(F.lit(0).cast("long")).alias("_ord")
 
 
 _OUT_COLS = (*KEY_COLS, "op", *DATA_COLS, "extra_json", *ORDER_COLS,
@@ -186,27 +203,29 @@ BASE_COLS = (*KEY_COLS, *DATA_COLS)
 
 
 def scan_extra_columns(spans: list[tuple]) -> list[str]:
-    """Driver-side schema discovery: parse the TABLE_MAPs of the LAST
-    chunk span — column additions are monotonic (SURVEY §1.2), so the
-    newest TABLE_MAP carries the batch's widest schema.  Milliseconds vs
-    executing the distributed pipeline for a name probe."""
+    """Driver-side schema discovery: parse the newest TABLE_MAP in the
+    batch — column additions are monotonic (SURVEY §1.2), so it carries
+    the batch's widest schema.  Walks chunk spans from the END because a
+    trailing chunk may hold only a ROTATE/format event and no TABLE_MAP
+    at all.  Milliseconds vs executing the distributed pipeline for a
+    name probe."""
     import os
 
     from ..mysql.decode import Cur, iter_frames, parse_table_map
     from .. import constants as C
-    if not spans:
-        return []
-    dump_dir, log_file, off, ln = spans[-1]
-    with open(os.path.join(dump_dir, log_file), "rb") as f:
-        f.seek(off)
-        data = f.read(ln)
-    extras: list[str] = []
-    for fr, _ in iter_frames(data, has_magic=off == 0, verify_crc=False):
-        if fr.event_type == C.TABLE_MAP_EVENT:
-            tme = parse_table_map(Cur(fr.body))
-            extras = [c.name for c in tme.columns
-                      if c.name and c.name not in BASE_COLS]
-    return sorted(set(extras))
+    for dump_dir, log_file, off, ln in reversed(spans):
+        with open(os.path.join(dump_dir, log_file), "rb") as f:
+            f.seek(off)
+            data = f.read(ln)
+        last_tme = None
+        for fr, _ in iter_frames(data, has_magic=off == 0, verify_crc=False):
+            if fr.event_type == C.TABLE_MAP_EVENT:
+                last_tme = fr.body
+        if last_tme is not None:
+            tme = parse_table_map(Cur(last_tme))
+            return sorted({c.name for c in tme.columns
+                           if c.name and c.name not in BASE_COLS})
+    return []
 
 
 def final_state(upserts: DataFrame) -> DataFrame:

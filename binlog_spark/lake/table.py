@@ -48,12 +48,17 @@ class LakeTable:
     def __init__(self, root: str, n_buckets: int = 32,
                  key_cols: tuple | list | None = None) -> None:
         self.root = root
-        self.n_buckets = n_buckets
         self.snap_dir = os.path.join(root, "snapshots")
         self.data_dir = os.path.join(root, "data")
-        # key columns are a table property: an existing table's snapshot log
-        # wins over the constructor arg (which then only seeds creation)
+        # key columns and bucket count are table properties: an existing
+        # table's snapshot log wins over the constructor args (which then
+        # only seed creation).  Resolving n_buckets snapshot-first is what
+        # keeps old data files addressable: reopening with a different
+        # bucket count would hash keys under a layout the files don't have
+        # (stale rows surviving in untouched buckets, merged rows written
+        # outside the registered set).
         self._key_cols = tuple(key_cols) if key_cols else None
+        self._n_buckets_arg = n_buckets
 
     @property
     def key_cols(self) -> tuple:
@@ -61,6 +66,13 @@ class LakeTable:
         if snap and snap.get("key_cols"):
             return tuple(snap["key_cols"])
         return self._key_cols or KEY_COLS
+
+    @property
+    def n_buckets(self) -> int:
+        snap = self.snapshot()
+        if snap and snap.get("n_buckets"):
+            return int(snap["n_buckets"])
+        return self._n_buckets_arg
 
     # -- snapshot log -------------------------------------------------------
 
@@ -115,6 +127,7 @@ class LakeTable:
                 "snapshot_id": 0, "parent": None, "batch_id": None,
                 "schema": list(schema_cols or default_schema),
                 "key_cols": list(kc),
+                "n_buckets": self._n_buckets_arg,
                 "buckets": {}, "offsets": None,
                 "stats": {"rows": 0}, "committed_at": time.time(),
             })
@@ -274,12 +287,22 @@ class LakeTable:
                 # rows (which carry their original commit order) and the
                 # batch; shuffles on the same (repo, path) hash the
                 # buckets were built from, AQE splits skewed keys.
-                combined = old.unionByName(staged)
-                payload = F.struct(*all_cols)
-                order = F.struct("log_file", "log_pos", "seq_in_tx")
-                merged = (combined.groupBy(*self.key_cols)
-                          .agg(F.max_by(payload, order).alias("w"))
-                          .select("w.*")
+                # Winner search runs on the packed-BIGINT commit order
+                # (cdc.pipeline.pack_ord) — a codegen'd HashAggregate with
+                # map-side combine; a payload-carrying max_by would force a
+                # SortAggregate over every touched-bucket row.  Rows merged
+                # from non-CDC paths carry default offsets (log_file "") and
+                # pack to 0 (lowest order) rather than erroring.
+                from ..cdc.pipeline import pack_ord
+                combined = (old.unionByName(staged)
+                            .withColumn("_ord", pack_ord(strict=False)))
+                winners = (combined.groupBy(*self.key_cols)
+                           .agg(F.max("_ord").alias("_ord")))
+                merged = (combined
+                          .join(winners, on=[*self.key_cols, "_ord"],
+                                how="inner")
+                          .dropDuplicates(list(self.key_cols))
+                          .drop("_ord")
                           .withColumn("bucket", self._bucket_col()))
             else:
                 merged = staged.withColumn("bucket", self._bucket_col())
@@ -294,6 +317,18 @@ class LakeTable:
             new_buckets[str(b)] = files
             written += len(files)
 
+        # per-bucket stored-row counts from parquet footers (driver-side,
+        # no Spark job): carried-forward buckets keep their old counts,
+        # touched buckets are re-counted.  ``rows_stored`` (live rows +
+        # persisted tombstones) is the denominator the tombstone-ratio
+        # retention trigger needs — a cumulative table size, not the last
+        # batch's upsert count.
+        bucket_rows = dict(snap.get("bucket_rows", {}))
+        for b in touched:
+            bucket_rows[str(b)] = sum(_parquet_rows(f)
+                                      for f in by_bucket.get(b, []))
+        rows_stored = sum(bucket_rows.values())
+
         row = obs.get
         n_up, n_del = int(row["n"] or 0), int(row["d"] or 0)
         if staging_dir:
@@ -307,9 +342,12 @@ class LakeTable:
             "batch_id": batch_id,
             "schema": schema_cols,
             "key_cols": list(self.key_cols),
+            "n_buckets": self.n_buckets,
             "buckets": new_buckets,
+            "bucket_rows": bucket_rows,
             "offsets": offsets,
             "stats": {"upserts": n_up, "deletes": n_del,
+                      "rows_stored": rows_stored,
                       "touched_buckets": len(touched),
                       "data_files_written": written},
             "committed_at": time.time(),
@@ -352,15 +390,21 @@ class LakeTable:
             return self.compact(spark)
         if tombstone_ratio:
             ts = self.tombstone_stats()
-            base = max(ts["tombstones"] + self._approx_rows(), 1)
+            # rows_stored already counts persisted tombstones, so the ratio
+            # is dead-rows / stored-rows directly
+            base = max(self._approx_rows(), ts["tombstones"], 1)
             if ts["tombstones"] / base >= tombstone_ratio:
                 return self.compact(spark)
         return None
 
     def _approx_rows(self) -> int:
+        """Cumulative stored rows (live + tombstones) from the latest
+        snapshot — tracked per bucket from parquet footers at every merge,
+        NOT the last batch's upsert count."""
         snap = self.snapshot() or {}
-        return int(snap.get("stats", {}).get("upserts")
-                   or snap.get("stats", {}).get("rows") or 0)
+        st = snap.get("stats", {})
+        return int(st.get("rows_stored") or st.get("upserts")
+                   or st.get("rows") or 0)
 
     def compact(self, spark: SparkSession, drop_tombstones: bool = True,
                 target_buckets: int | None = None) -> dict:
@@ -386,15 +430,20 @@ class LakeTable:
                             "bucket")
              .write.partitionBy("bucket").mode("overwrite").parquet(out_dir))
         by_bucket = self._bucket_files(out_dir)
+        bucket_rows = {str(b): sum(_parquet_rows(f) for f in fl)
+                       for b, fl in by_bucket.items()}
         new_snap = {
             "snapshot_id": snap["snapshot_id"] + 1,
             "parent": snap["snapshot_id"],
             "batch_id": f"compact-{commit_id}",
             "schema": schema_cols,
             "key_cols": list(self.key_cols),
+            "n_buckets": self.n_buckets,
             "buckets": {str(b): fl for b, fl in by_bucket.items()},
+            "bucket_rows": bucket_rows,
             "offsets": snap.get("offsets"),
             "stats": {"compacted_from_files": len(files),
+                      "rows_stored": sum(bucket_rows.values()),
                       "data_files_written": sum(map(len, by_bucket.values()))},
             "committed_at": time.time(),
         }
@@ -419,13 +468,28 @@ class LakeTable:
                         os.remove(f)
                         removed.append(f)
             os.remove(os.path.join(self.snap_dir, f"v{s['snapshot_id']}.json"))
-        # prune empty commit dirs
+        # prune now-empty bucket dirs, then now-empty commit dirs
         if os.path.isdir(self.data_dir):
             for d in os.listdir(self.data_dir):
                 full = os.path.join(self.data_dir, d)
-                for sub in list(os.listdir(full)) if os.path.isdir(full) else []:
+                if not os.path.isdir(full):
+                    continue
+                for sub in os.listdir(full):
                     subf = os.path.join(full, sub)
                     if os.path.isdir(subf) and not any(
                             n.endswith(".parquet") for n in os.listdir(subf)):
-                        pass
+                        for n in os.listdir(subf):  # stray _SUCCESS/.crc files
+                            os.remove(os.path.join(subf, n))
+                        os.rmdir(subf)
+                if not os.listdir(full):
+                    os.rmdir(full)
         return removed
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from the parquet footer — metadata-only, no data read."""
+    import pyarrow.parquet as pq
+    try:
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return 0

@@ -47,6 +47,9 @@ class Change:
     lang: str | None = None
     content: str | None = None
     branch: str | None = None       # present only after schema evolution
+    # set on key-moving UPDATEs: the before-image lives at this (old) key
+    before_repo: str | None = None
+    before_path: str | None = None
 
 
 @dataclass
@@ -69,6 +72,12 @@ class GenConfig:
     #: fraction of UPDATEs aimed at ONE designated hot key — pathological
     #: single-key skew (SURVEY §7 hard-parts #5).  0 = natural Zipf only.
     hot_key_ratio: float = 0.0
+    #: fraction of UPDATEs that MOVE the row's primary key (file rename):
+    #: before-image at the old (repo, path), after-image at a new one —
+    #: the case that forces an old-key tombstone downstream
+    #: (/root/reference/rbr.go:344-349 surfaces both images for exactly
+    #: this reason).
+    key_move_ratio: float = 0.05
 
 
 class ChangeScript:
@@ -132,15 +141,35 @@ class ChangeScript:
                 self.live_keys.append((repo, path))
                 yield Change("I", repo, path, *row)
             elif r < 0.85:
-                if (self.cfg.hot_key_ratio > 0
-                        and self.rnd.random() < self.cfg.hot_key_ratio):
-                    repo, path = self.live_keys[0]  # the designated hot key
+                hot = (self.cfg.hot_key_ratio > 0
+                       and self.rnd.random() < self.cfg.hot_key_ratio)
+                if hot:
+                    i = 0  # the designated hot key
                 else:
-                    repo, path = self.rnd.choice(self.live_keys)
+                    i = self.rnd.randrange(len(self.live_keys))
+                repo, path = self.live_keys[i]
                 old = self.live[(repo, path)]
-                row = (self._commit(), old[1], self._content(), self._branch())
-                self.live[(repo, path)] = row
-                yield Change("U", repo, path, *row)
+                if (not hot and self.cfg.key_move_ratio > 0
+                        and self.rnd.random() < self.cfg.key_move_ratio):
+                    # key-moving UPDATE (file rename): vacate the old key
+                    new_repo, new_path = self._new_key()
+                    while (new_repo, new_path) in self.live:
+                        new_repo, new_path = self._new_key()
+                    del self.live[(repo, path)]
+                    self.live_keys[i] = self.live_keys[-1]
+                    self.live_keys.pop()
+                    lang = EXT2LANG.get(new_path.rsplit(".", 1)[-1])
+                    row = (self._commit(), lang, self._content(),
+                           self._branch())
+                    self.live[(new_repo, new_path)] = row
+                    self.live_keys.append((new_repo, new_path))
+                    yield Change("U", new_repo, new_path, *row,
+                                 before_repo=repo, before_path=path)
+                else:
+                    row = (self._commit(), old[1], self._content(),
+                           self._branch())
+                    self.live[(repo, path)] = row
+                    yield Change("U", repo, path, *row)
             else:
                 i = self.rnd.randrange(len(self.live_keys))
                 repo, path = self.live_keys[i]
@@ -173,7 +202,8 @@ class BinlogWriter:
     """
 
     def __init__(self, out_dir: str, cfg: GenConfig,
-                 chunk_target: int = 1 << 20) -> None:
+                 chunk_target: int = 1 << 20,
+                 record_events: bool = False) -> None:
         self.dir = out_dir
         self.cfg = cfg
         self.chunk_target = chunk_target
@@ -183,6 +213,12 @@ class BinlogWriter:
         self.pos = 0
         self.ts = cfg.base_ts
         self._chunk_start = 0
+        #: generator-side truth for the golden-parquet oracles: one entry
+        #: per rows-event — (log_file, log_pos, ts, gtid, ev_type, rows,
+        #: before_rows).  log_pos is the event's next_pos, exactly what the
+        #: decoder reports (decoder.kernel uses fr.next_pos).
+        self.record_events = record_events
+        self.events_log: list[tuple] = []
         os.makedirs(out_dir, exist_ok=True)
 
     @property
@@ -238,11 +274,15 @@ class BinlogWriter:
         self.ts += 1
         self._emit(C.GTID_EVENT, E.gtid_body(sid, gno))
         self._emit(C.QUERY_EVENT, E.query_body(schema, "BEGIN"))
+        gtid = f"{uuid.UUID(bytes=sid)}:{gno}" if self.record_events else None
         for ev_type, rows, before in stmts:
             self._emit(C.TABLE_MAP_EVENT,
                        E.table_map_body(table_id, schema, table, columns,
                                         pk=pk))
             self._emit(ev_type, E.rows_body(ev_type, table_id, columns, rows, before))
+            if self.record_events:
+                self.events_log.append((self.cur_name, self.pos, self.ts,
+                                        gtid, ev_type, rows, before))
         self._emit(C.XID_EVENT, E.xid_body(gno))
         self.manifest.n_transactions += 1
         # chunk cut at transaction boundary once target size reached
@@ -279,7 +319,11 @@ def generate(out_dir: str, cfg: GenConfig | None = None,
     script = ChangeScript(cfg)
     rnd = random.Random(cfg.seed + 1)
     sid = uuid.UUID(int=rnd.getrandbits(128)).bytes
-    w = BinlogWriter(out_dir, cfg, chunk_target)
+    # golden-parquet oracles are recorded for every fixture a correctness
+    # gate might read; skipped above 500k changes (bench-scale inputs are
+    # replicated span lists, not bigger scripts)
+    w = BinlogWriter(out_dir, cfg, chunk_target,
+                     record_events=cfg.n_changes <= 500_000)
     w._open_file()
 
     from .encode import varchar
@@ -336,7 +380,12 @@ def generate(out_dir: str, cfg: GenConfig | None = None,
             rows.append(_row(ch, evolved))
             before_state[key] = _row(ch, evolved)
         elif ch.op == "U":
-            before_rows.append(_pad(before_state[key], ncol))
+            bkey = ((ch.before_repo, ch.before_path)
+                    if ch.before_repo is not None else key)
+            if bkey != key:  # key move: the old key's row is gone
+                before_rows.append(_pad(before_state.pop(bkey), ncol))
+            else:
+                before_rows.append(_pad(before_state[bkey], ncol))
             rows.append(_row(ch, evolved))
             before_state[key] = _row(ch, evolved)
         else:  # delete carries the WHERE image (/root/reference/doc.go:53-65)
@@ -365,4 +414,89 @@ def generate(out_dir: str, cfg: GenConfig | None = None,
                 rec["branch"] = row[3]
             json.dump(rec, f)
             f.write("\n")
+    if w.record_events:
+        write_goldens(out_dir, final, w.events_log)
     return w.manifest
+
+
+def write_goldens(out_dir: str, final: dict, events_log: list) -> None:
+    """Generator-side truth as parquet, for the DuckDB oracle twins.
+
+    These are NOT produced by the decoder: the change script's own live
+    state and the writer's emission log are the independent reference the
+    distributed decode/reduce/merge must reproduce (the role MySQL's test
+    server plays in /root/reference/types_test.go:284-328).
+
+      golden_state.parquet   final (repo, path, commit, lang,
+                             sha256(content)) — the replay invariant
+      golden_events.parquet  one row per change event with op, keys,
+                             before-keys, payload digests and commit-order
+                             offsets — what decode_changes must emit
+    """
+    import hashlib as _hl
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = sorted(final.items())
+    state_tbl = pa.table({
+        "repo": [k[0] for k, _ in rows],
+        "path": [k[1] for k, _ in rows],
+        "commit": [r[0] for _, r in rows],
+        "lang": [r[1] for _, r in rows],
+        "content_sha256": [_hl.sha256((r[2] or "").encode()).hexdigest()
+                           for _, r in rows],
+    })
+    pq.write_table(state_tbl, os.path.join(out_dir, "golden_state.parquet"))
+
+    cols: dict[str, list] = {k: [] for k in (
+        "op", "repo", "path", "before_repo", "before_path", "commit",
+        "lang", "content_sha256", "gtid", "seq_in_tx", "log_file",
+        "log_pos", "ts_sec")}
+    _OPS = {C.WRITE_ROWS_EVENTv2: "I", C.UPDATE_ROWS_EVENTv2: "U",
+            C.DELETE_ROWS_EVENTv2: "D",
+            C.WRITE_ROWS_EVENTv1: "I", C.UPDATE_ROWS_EVENTv1: "U",
+            C.DELETE_ROWS_EVENTv1: "D"}
+    last_gtid = object()
+    seq = 0
+    for log_file, log_pos, ts, gtid, ev_type, ev_rows, before in events_log:
+        if gtid != last_gtid:
+            seq = 0
+            last_gtid = gtid
+        op = _OPS[ev_type]
+        for i, row in enumerate(ev_rows):
+            cols["op"].append(op)
+            cols["repo"].append(row[0])
+            cols["path"].append(row[1])
+            if op == "U":
+                cols["before_repo"].append(before[i][0])
+                cols["before_path"].append(before[i][1])
+            elif op == "D":
+                cols["before_repo"].append(row[0])
+                cols["before_path"].append(row[1])
+            else:
+                cols["before_repo"].append(None)
+                cols["before_path"].append(None)
+            if op == "D":
+                cols["commit"].append(None)
+                cols["lang"].append(None)
+                cols["content_sha256"].append(None)
+            else:
+                cols["commit"].append(row[2])
+                cols["lang"].append(row[3])
+                cols["content_sha256"].append(
+                    _hl.sha256((row[4] or "").encode()).hexdigest())
+            cols["gtid"].append(gtid)
+            cols["seq_in_tx"].append(seq)
+            seq += 1
+            cols["log_file"].append(log_file)
+            cols["log_pos"].append(log_pos)
+            cols["ts_sec"].append(ts)
+    ev_tbl = pa.table({
+        **{k: pa.array(v, pa.string()) for k, v in cols.items()
+           if k not in ("seq_in_tx", "log_pos", "ts_sec")},
+        "seq_in_tx": pa.array(cols["seq_in_tx"], pa.int32()),
+        "log_pos": pa.array(cols["log_pos"], pa.int64()),
+        "ts_sec": pa.array(cols["ts_sec"], pa.int64()),
+    })
+    pq.write_table(ev_tbl, os.path.join(out_dir, "golden_events.parquet"))

@@ -135,7 +135,41 @@ def generate_multi(out_dir: str, n_changes: int = 3000,
     import os
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(man, f)
+    write_multi_golden(out_dir, live)
     return man
+
+
+def write_multi_golden(out_dir: str,
+                       live: dict[str, dict[tuple, tuple]]) -> None:
+    """Generator-side truth for the multi-table replay: the script's own
+    live state per table, rendered exactly as binlog_demo.binlog_multi_table
+    renders the lake tables — pk_json/row_json are compact JSON objects in
+    lake schema order (pk columns first), nulls omitted (matching Spark's
+    ``to_json(struct(...))``)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = {"table_schema": [], "table_name": [], "pk_json": [],
+           "row_json": []}
+    for table in sorted(TABLES):
+        cols, pk = TABLES[table]
+        names = [c.name for c in cols]
+        pk_names = [names[i] for i in pk]
+        order = pk_names + [n for n in names if n not in pk_names]
+        for row in live[table].values():
+            vals = dict(zip(names, (render(v) for v in row)))
+            out["table_schema"].append(DB)
+            out["table_name"].append(table)
+            out["pk_json"].append(json.dumps(
+                {p: vals[p] for p in pk_names}, separators=(",", ":")))
+            out["row_json"].append(json.dumps(
+                {c: vals[c] for c in order if vals[c] is not None},
+                separators=(",", ":")))
+    pq.write_table(pa.table({k: pa.array(v, pa.string())
+                             for k, v in out.items()}),
+                   os.path.join(out_dir, "golden_multi.parquet"))
 
 
 def render(v) -> str | None:

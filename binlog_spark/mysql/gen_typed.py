@@ -120,4 +120,42 @@ def generate_typed(out_dir: str, n_changes: int = 2000, seed: int = 7) -> dict:
         json.dump({"files": w.manifest.files, "chunks": w.manifest.chunks,
                    "n_changes": n_changes,
                    "n_transactions": w.manifest.n_transactions}, f)
+    write_typed_golden(out_dir)
     return live
+
+
+def write_typed_golden(out_dir: str) -> None:
+    """Sequential-oracle golden for the distributed typed decode: a single-
+    threaded whole-file pass (decode.decode_chunk in .next order) rendered
+    to the same JSON images, as parquet.  Checks the *distributed* plumbing
+    — chunk splitting, TABLE_MAP cache locality, mapInArrow batching,
+    ordering — against the sequential read; value-level decode correctness
+    is covered separately by tests/test_types_matrix.py's constant
+    expectations."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..decoder.generic import _image_json
+    from .oracle import iter_change_records
+
+    names = ("op", "table_schema", "table_name", "before_json",
+             "after_json", "gtid", "seq_in_tx", "log_file", "log_pos",
+             "ts_sec", "crc_ok")
+    cols: dict[str, list] = {k: [] for k in names}
+    for r in iter_change_records(out_dir):
+        cols["op"].append(r.op)
+        cols["table_schema"].append(r.table_schema)
+        cols["table_name"].append(r.table_name)
+        cols["before_json"].append(_image_json(r.columns, r.before))
+        cols["after_json"].append(_image_json(r.columns, r.after))
+        cols["gtid"].append(r.gtid)
+        cols["seq_in_tx"].append(r.seq_in_tx)
+        cols["log_file"].append(r.log_file)
+        cols["log_pos"].append(r.log_pos)
+        cols["ts_sec"].append(r.ts)
+        cols["crc_ok"].append(r.crc_ok)
+    typ = {"seq_in_tx": pa.int32(), "log_pos": pa.int64(),
+           "ts_sec": pa.int64(), "crc_ok": pa.bool_()}
+    tbl = pa.table({k: pa.array(v, typ.get(k, pa.string()))
+                    for k, v in cols.items()})
+    pq.write_table(tbl, os.path.join(out_dir, "golden_typed.parquet"))

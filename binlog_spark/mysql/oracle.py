@@ -60,6 +60,13 @@ def apply_records(records: Iterator[ChangeRecord],
         names = r.columns or REPO_COLS
         if r.op in ("I", "U"):
             row = dict(zip(names, r.after))
+            if r.op == "U" and r.before is not None:
+                # a key-moving UPDATE vacates the old key (the engine emits
+                # a tombstone there — cdc.pipeline.with_key_change_tombstones)
+                brow = dict(zip(names, r.before))
+                bkey = (brow["repo"], brow["path"])
+                if bkey != (row["repo"], row["path"]):
+                    state.pop(bkey, None)
             state[(row["repo"], row["path"])] = row
         else:
             row = dict(zip(names, r.before))

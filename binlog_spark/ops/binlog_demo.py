@@ -19,7 +19,8 @@ _SF_CHANGES = {"sf0.001": 4000, "sf0.01": 20000, "sf0.1": 400000}
 def _fixture_dir(sf_dir: str) -> tuple[str, int]:
     sf = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
     n = _SF_CHANGES.get(sf, 20000)
-    return f"/tmp/binlog_fixture_{sf}_{n}", n
+    # v2: key-moving updates + golden parquet oracles in the fixture
+    return f"/tmp/binlog_fixture_v2_{sf}_{n}", n
 
 
 def ensure_fixture(sf_dir: str) -> str:
@@ -63,7 +64,7 @@ def binlog_typed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     sf = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
     n = _SF_TYPED.get(sf, 4000)
-    d = f"/tmp/binlog_typed_{sf}_{n}"
+    d = f"/tmp/binlog_typed_v2_{sf}_{n}"
     if not os.path.exists(os.path.join(d, "manifest.json")):
         generate_typed(d, n_changes=n)
     return (decode_changes_generic(chunks_df(spark, d))
@@ -72,7 +73,9 @@ def binlog_typed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def binlog_decode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw decoded change-event stream (op mix + offsets), the decoder's
-    public face."""
+    public face.  Oracle: the same aggregation over the generator's
+    emission log (golden_events.parquet — generator-side truth, written by
+    mysql.gen.write_goldens, independent of the decoder)."""
     from ..decoder.chunks import chunks_df
     from ..decoder.kernel import decode_changes
     from ..session import ship_package
@@ -86,7 +89,53 @@ def binlog_decode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("log_file", "op"))
 
 
+def binlog_events_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVERY decoded change event — op, key, before-key, payload digest,
+    dedup identity, commit-order offset — compared row-for-row against the
+    generator's emission log.  The hardest decoder check the driver can
+    run: any mis-framed event, wrong image, broken TABLE_MAP cache or
+    chunk-boundary bug shows up as a value-hash mismatch."""
+    from ..decoder.chunks import chunks_df
+    from ..decoder.kernel import decode_changes
+    from ..session import ship_package
+    ship_package(spark)
+    dump = ensure_fixture(sf_dir)
+    ev = decode_changes(chunks_df(spark, dump))
+    return (ev.select(
+        "op", "repo", "path", "before_repo", "before_path", "commit",
+        "lang",
+        F.when(F.col("op") != "D",
+               F.sha2(F.coalesce("content", F.lit("")), 256))
+        .alias("content_sha256"),
+        "gtid", "seq_in_tx", "log_file", "log_pos", "ts_sec")
+        .orderBy("log_file", "log_pos", "seq_in_tx"))
+
+
 _SF_MULTI = {"sf0.001": 1500, "sf0.01": 6000, "sf0.1": 30000}
+
+
+def golden_paths(sf_dir: str) -> dict[str, str]:
+    """Ensure every binlog fixture (and its golden parquet) exists for the
+    given scale and return the golden file paths — the DuckDB oracle twins
+    read these via read_parquet()."""
+    from ..mysql.gen_multi import generate_multi
+    from ..mysql.gen_typed import generate_typed
+    dump = ensure_fixture(sf_dir)
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
+    nt = _SF_TYPED.get(sf, 4000)
+    dt = f"/tmp/binlog_typed_v2_{sf}_{nt}"
+    if not os.path.exists(os.path.join(dt, "manifest.json")):
+        generate_typed(dt, n_changes=nt)
+    nm = _SF_MULTI.get(sf, 6000)
+    dm = f"/tmp/binlog_multi_v2_{sf}_{nm}"
+    if not os.path.exists(os.path.join(dm, "manifest.json")):
+        generate_multi(dm, n_changes=nm)
+    return {
+        "state": os.path.join(dump, "golden_state.parquet"),
+        "events": os.path.join(dump, "golden_events.parquet"),
+        "typed": os.path.join(dt, "golden_typed.parquet"),
+        "multi": os.path.join(dm, "golden_multi.parquet"),
+    }
 
 
 def binlog_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,7 +152,7 @@ def binlog_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     sf = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
     n = _SF_MULTI.get(sf, 6000)
-    d = f"/tmp/binlog_multi_{sf}_{n}"
+    d = f"/tmp/binlog_multi_v2_{sf}_{n}"
     if not os.path.exists(os.path.join(d, "manifest.json")):
         generate_multi(d, n_changes=n)
     lake = f"{d}_lake"

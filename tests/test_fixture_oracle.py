@@ -114,3 +114,51 @@ def test_idempotent_replay(fixture_dir):
     once = oracle.apply_records(iter(recs))
     twice = oracle.apply_records(iter(recs + recs))
     assert oracle.state_digest(once) == oracle.state_digest(twice)
+
+
+def test_key_moving_updates_present_and_handled(fixture_dir):
+    """v2 fixtures contain key-moving UPDATEs; the oracle must vacate the
+    old key (a stale row there would shadow later inserts)."""
+    moves = [r for r in oracle.iter_change_records(fixture_dir)
+             if r.op == "U" and r.before is not None
+             and (r.before[0], r.before[1]) != (r.after[0], r.after[1])]
+    assert moves, "fixture has no key-moving updates"
+    state = oracle.final_state(fixture_dir)
+    golden = load_golden(fixture_dir)
+    assert set(state) == set(golden)
+
+
+def test_golden_parquet_matches_oracle(fixture_dir):
+    """golden_state.parquet (generator-side truth) must agree with the
+    sequential oracle's replay — two independent computations of the same
+    final state."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(fixture_dir, "golden_state.parquet"))
+    golden = {(r["repo"], r["path"]): r for r in tbl.to_pylist()}
+    state = oracle.final_state(fixture_dir)
+    assert set(golden) == set(state)
+    for k, row in state.items():
+        g = golden[k]
+        assert g["commit"] == row["commit"]
+        assert g["content_sha256"] == hashlib.sha256(
+            (row.get("content") or "").encode()).hexdigest()
+
+
+def test_golden_events_match_oracle_decode(fixture_dir):
+    """golden_events.parquet (the writer's emission log) must agree with
+    the sequential decode on op/keys/offsets for every event."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(fixture_dir, "golden_events.parquet"))
+    golden = tbl.to_pylist()
+    recs = list(oracle.iter_change_records(fixture_dir))
+    assert len(golden) == len(recs)
+    for g, r in zip(golden, recs):
+        img = r.after if r.after is not None else r.before
+        assert (g["op"], g["repo"], g["path"], g["gtid"], g["seq_in_tx"],
+                g["log_file"], g["log_pos"]) == \
+               (r.op, img[0], img[1], r.gtid, r.seq_in_tx, r.log_file,
+                r.log_pos)

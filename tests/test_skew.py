@@ -25,6 +25,7 @@ from binlog_spark.mysql import gen, oracle
 def hot_dump(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("hotdump"))
     gen.generate(d, gen.GenConfig(n_changes=6000, hot_key_ratio=0.8,
+                                  key_move_ratio=0.0,  # pure hot-key skew
                                   max_file_bytes=2 << 20),
                  chunk_target=128 * 1024)
     return d

@@ -49,6 +49,8 @@ def compare(name, sdf, ddf_rows, ddf_cols):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # the golden-parquet oracles are scale-keyed: point them at this run's sf
+    os.environ["SPARK_GRAFT_CORRECTNESS_SF"] = sf_dir
 
     import __spark_entry__ as entrymod
     from binlog_spark.session import get_spark_shipped
