@@ -383,9 +383,49 @@ def oracle_sql() -> dict[str, str]:
         FROM t ORDER BY doc_id
     """
 
-    # binlog_replay_state / binlog_decode_events: input is binlog bytes, not
-    # SQL-visible tables — checked against the sequential oracle in tests/.
-    # doc_simhash / doc_minhash_dups / doc_ngram_jaccard / ann_lsh_topk /
-    # embedding_neardup: hash-function-dependent — rows-only here, recall &
-    # correctness asserted in tests/test_ops.py.
+    # --- hash-dependent ops: golden parquet from the sequential Python
+    # oracle (binlog_spark/ops/goldens.py) — a single-threaded replay of
+    # each operator's spec built on the bit-exact xxhash64
+    # reimplementation (functions/spark_hash.py, verified in
+    # tests/test_spark_hash.py).  Recall quality is separately asserted
+    # in tests/test_ops.py.
+    from binlog_spark.ops import goldens
+    sfd = _oracle_sf_dir()
+
+    sql["doc_simhash"] = f"""
+        SELECT doc_id, simhash64
+        FROM read_parquet('{goldens.golden_doc_simhash(sfd)}')
+        ORDER BY doc_id
+    """
+
+    sql["doc_minhash_dups"] = f"""
+        SELECT doc_a, doc_b, est_jaccard
+        FROM read_parquet('{goldens.golden_doc_minhash_dups(sfd)}')
+        ORDER BY doc_a, doc_b
+    """
+
+    sql["doc_ngram_jaccard"] = f"""
+        SELECT doc_a, doc_b, jaccard
+        FROM read_parquet('{goldens.golden_doc_ngram_jaccard(sfd)}')
+        ORDER BY doc_a, doc_b
+    """
+
+    sql["ann_lsh_topk"] = f"""
+        SELECT q_id, rank, vec_id, cos
+        FROM read_parquet('{goldens.golden_ann_lsh_topk(sfd)}')
+        ORDER BY q_id, rank
+    """
+
+    sql["ann_ivf_topk"] = f"""
+        SELECT q_id, rank, vec_id, cos
+        FROM read_parquet('{goldens.golden_ann_ivf_topk(sfd)}')
+        ORDER BY q_id, rank
+    """
+
+    sql["embedding_neardup"] = f"""
+        SELECT vec_a, vec_b, cos
+        FROM read_parquet('{goldens.golden_embedding_neardup(sfd)}')
+        ORDER BY vec_a, vec_b
+    """
+
     return sql

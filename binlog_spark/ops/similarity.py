@@ -55,6 +55,19 @@ N_PLANES = 6   # bits per table
 N_TABLES = 4   # independent hash tables (multi-table LSH: recall compounds)
 
 
+def _plane_weights_expr(seed: int, dim: int) -> F.Column:
+    """Deterministic pseudo-random hyperplane: weight_i =
+    (pmod(xxhash64(seed, i), 2001) - 1000) / 1000 ∈ [-1, 1], symmetric
+    around zero.  NOTE the single-parameter lambda: PySpark dispatches on
+    lambda arity, so a two-parameter lambda would silently receive
+    (element, index) and clobber a default-argument seed capture — the
+    seed must be closed over via this factory function's scope."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: ((F.pmod(F.xxhash64(F.lit(seed), i), F.lit(2001))
+                    - F.lit(1000)).cast("double") / 1000.0))
+
+
 def _lsh_bucket(emb_col: str, dim: int, table: int = 0) -> F.Column:
     """Sign bits against deterministic pseudo-random hyperplanes.
 
@@ -63,14 +76,10 @@ def _lsh_bucket(emb_col: str, dim: int, table: int = 0) -> F.Column:
     broadcast."""
     bucket = F.lit(0).cast("long")
     for p in range(N_PLANES):
-        seed = table * N_PLANES + p
         proj = F.aggregate(
-            F.zip_with(
-                F.col(emb_col),
-                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
-                            lambda i, s=seed: ((F.xxhash64(F.lit(s), i) % 1000)
-                                               .cast("double") / 500.0 - 1.0)),
-                lambda x, y: x * y),
+            F.zip_with(F.col(emb_col),
+                       _plane_weights_expr(table * N_PLANES + p, dim),
+                       lambda x, y: x * y),
             F.lit(0.0).cast("double"), lambda acc, v: acc + v)
         bucket = bucket + F.when(proj > 0, F.lit(2 ** p)).otherwise(0)
     return bucket
@@ -120,72 +129,96 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str,
 
 
 N_CELLS = 16
-KMEANS_ITERS = 2
+KMEANS_ITERS = 4
+IVF_SAMPLE_CAP = 4096
 
 
-def _ivf_assign(spark: SparkSession, emb: DataFrame, dim: int) -> tuple:
-    """IVF coarse quantizer: k-means-lite centroids (deterministic seed
-    vectors = the first N_CELLS embeddings, 2 Lloyd iterations, all
-    DataFrame ops), returns (assigned DF with 'cell', centroids list)."""
-    cents = [list(r.embedding) for r in
-             emb.orderBy("vec_id").limit(N_CELLS).collect()]
-    for _ in range(KMEANS_ITERS):
-        cent_lit = F.array(*[
-            F.array(*[F.lit(float(x)) for x in c]) for c in cents])
-        dists = F.transform(
-            cent_lit,
-            lambda c: F.aggregate(
-                F.zip_with(F.col("embedding"), c,
-                           lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0).cast("double"), lambda a, v: a + v))
-        assigned = emb.withColumn("d", dists).withColumn(
-            "cell",
-            (F.array_position(F.col("d"), F.array_min(F.col("d"))) - 1)
-            .cast("int")).drop("d")
-        # recompute centroids: mean per cell per coordinate
-        sums = (assigned.groupBy("cell")
-                .agg(F.count("*").alias("n"),
-                     *[F.sum(F.element_at("embedding", i + 1)).alias(f"s{i}")
-                       for i in range(dim)])
-                .collect())
-        new_cents = list(cents)
-        for r in sums:
-            new_cents[r.cell] = [r[f"s{i}"] / r.n for i in range(dim)]
-        cents = new_cents
-    cent_lit = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+def kmeans_sample(sample: list[list[float]],
+                  k: int = N_CELLS, iters: int = KMEANS_ITERS) -> list:
+    """Deterministic driver-side k-means over a BOUNDED sample (numpy
+    Lloyd iterations; init = first k sample vectors).  Shared verbatim
+    with the sequential oracle (ops/goldens.py) — the centroid VALUES are
+    part of the operator's spec, and both engines consume the same ones.
+    Sample size is capped, so this never becomes a driver bottleneck no
+    matter the corpus size (the scale-unsafe alternatives are centroid
+    literals baked into the plan and per-iteration collects of per-dim
+    sums over the full corpus)."""
+    import numpy as np
+    x = np.asarray(sample, dtype=np.float64)
+    cents = x[:k].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cell = d2.argmin(axis=1)
+        for c in range(k):
+            m = cell == c
+            if m.any():
+                cents[c] = x[m].mean(axis=0)
+    return [[float(v) for v in c] for c in cents]
+
+
+def _sqdist(a, b) -> float:
+    d = 0.0
+    for x, y in zip(a, b):
+        d += (x - y) * (x - y)
+    return d
+
+
+def _ivf_assign(spark: SparkSession, emb: DataFrame) -> tuple:
+    """IVF coarse quantizer, scale-shaped:
+
+      1. deterministic bounded sample (``vec_id % stride == 0``, a
+         pushdown-able predicate; ≤ ~IVF_SAMPLE_CAP rows collected)
+      2. k-means on the sample, driver-side (kmeans_sample)
+      3. centroids broadcast as a ONE-ROW DataFrame and cross-joined —
+         never embedded in the plan (16×dim literals blow up plan size
+         and codegen at real dimensions)
+      4. distributed cell assignment: per-row argmin over the centroid
+         array column, all JVM higher-order functions
+
+    Returns (assigned DF with 'cell', centroids list)."""
+    n = emb.count()
+    stride = max(1, n // IVF_SAMPLE_CAP)
+    sample_rows = (emb.filter(F.col("vec_id") % stride == 0)
+                   .select("vec_id", "embedding").collect())
+    sample = [list(r.embedding)
+              for r in sorted(sample_rows, key=lambda r: r.vec_id)]
+    cents = kmeans_sample(sample)
+    cent_df = F.broadcast(spark.createDataFrame(
+        [(cents,)], "cents array<array<double>>"))
     dists = F.transform(
-        cent_lit,
+        F.col("cents"),
         lambda c: F.aggregate(
             F.zip_with(F.col("embedding"), c, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0).cast("double"), lambda a, v: a + v))
-    assigned = emb.withColumn("d", dists).withColumn(
-        "cell",
-        (F.array_position(F.col("d"), F.array_min(F.col("d"))) - 1)
-        .cast("int")).drop("d")
+    assigned = (emb.crossJoin(cent_df)
+                .withColumn("d", dists)
+                .withColumn(
+                    "cell",
+                    (F.array_position(F.col("d"), F.array_min(F.col("d"))) - 1)
+                    .cast("int"))
+                .drop("d", "cents"))
     return assigned, cents
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str,
                  n_queries: int = 5, k: int = 3,
-                 n_probe: int = 4) -> DataFrame:
+                 n_probe: int = 6) -> DataFrame:
     """IVF ANN: corpus partitioned into coarse cells; each query scans only
     its ``n_probe`` nearest cells.  The scale path where LSH recall is too
-    hash-lucky: cell assignment is data-adaptive.  Rows-only oracle;
-    recall vs brute force asserted in tests."""
+    hash-lucky: cell assignment is data-adaptive.  Oracle: sequential
+    Python replay of the same spec (ops/goldens.py — identical centroids,
+    identical fold order, golden parquet); recall vs brute force asserted
+    in tests."""
     emb = _emb(spark, sf_dir)
-    dim = len(emb.select("embedding").first()[0])
-    assigned, cents = _ivf_assign(spark, emb, dim)
+    assigned, cents = _ivf_assign(spark, emb)
     q = (assigned.filter(F.col("vec_id") < n_queries)
          .select(F.col("vec_id").alias("q_id"),
                  F.col("embedding").alias("q_emb")))
     # per-query probe cells (driver-side: n_queries × N_CELLS is tiny)
-    import math
     qrows = q.collect()
     probe_rows = []
     for r in qrows:
-        d2 = [(sum((a - b) * (a - b) for a, b in zip(r.q_emb, c)), i)
-              for i, c in enumerate(cents)]
+        d2 = [(_sqdist(r.q_emb, c), i) for i, c in enumerate(cents)]
         for _, cell in sorted(d2)[:n_probe]:
             probe_rows.append((r.q_id, cell))
     probes = spark.createDataFrame(probe_rows, "q_id long, cell int")
@@ -202,11 +235,68 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str,
             .orderBy("q_id", "rank"))
 
 
+#: planted near-duplicate synthesis: vec_ids below this get a near-dup
+#: twin at id + NEARDUP_ID_BASE (deterministic, written once per scale)
+NEARDUP_PLANT = 64
+NEARDUP_ID_BASE = 1_000_000
+NEARDUP_VERSION = "v1"
+
+
+def neardup_input_path(sf_dir: str) -> str:
+    """Augmented embeddings table for the near-dup operator: the sf
+    embeddings plus deterministic planted near-duplicates (the raw
+    fixture has NO pairs above cosine 0.95, which made the operator a
+    green-looking no-op).  Both the Spark query and the DuckDB/Python
+    oracle read this same parquet.  Even plant ids are exact scaled
+    copies (cosine 1.0); odd ids carry hash-derived noise at ~0.15
+    relative norm (cosine ≈ 0.98–0.995)."""
+    import math
+    import os
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/emb_neardup_{NEARDUP_VERSION}_{sf}.parquet"
+    if os.path.exists(out):
+        return out
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.spark_hash import hash_int
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_pylist()
+    embs = tbl.column("embedding").to_pylist()
+    new_ids, new_embs = list(ids), [[float(v) for v in e] for e in embs]
+    for vid, e in zip(ids, embs):
+        if vid >= NEARDUP_PLANT:
+            continue
+        e = [float(v) for v in e]
+        if vid % 2 == 0:
+            twin = [v * 1.25 for v in e]
+        else:
+            nrm = math.sqrt(sum(v * v for v in e))
+            scale = 0.15 * nrm / math.sqrt(len(e))
+            twin = [v + scale * ((hash_int(i, vid) % 2001) / 1000.0 - 1.0)
+                    for i, v in enumerate(e)]
+        new_ids.append(NEARDUP_ID_BASE + vid)
+        new_embs.append(twin)
+    out_tbl = pa.table({
+        "vec_id": pa.array(new_ids, pa.int64()),
+        "embedding": pa.array(new_embs, pa.list_(pa.float32())),
+    })
+    tmp = out + ".tmp"
+    pq.write_table(out_tbl, tmp)
+    os.rename(tmp, out)
+    return out
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str,
                       threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within multi-table LSH
-    buckets (a pair qualifies if it collides in any table)."""
-    emb = _emb(spark, sf_dir)
+    buckets (a pair qualifies if it collides in any table), over the
+    planted-near-dup augmented table (neardup_input_path).  Oracle:
+    sequential Python replay of the same buckets + exact cosine
+    (ops/goldens.py); recall of the planted pairs asserted in tests."""
+    emb = (spark.read.parquet(neardup_input_path(sf_dir))
+           .withColumn("embedding", F.col("embedding").cast("array<double>")))
     dim = len(emb.select("embedding").first()[0])
     b = _lsh_tables(emb, dim)
     l, r = b.alias("l"), b.alias("r")
