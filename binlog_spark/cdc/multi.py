@@ -36,7 +36,7 @@ from pyspark.sql.types import (IntegerType, StringType, StructField,
                                StructType)
 
 from ..decoder.chunks import chunks_df
-from ..decoder.generic import decode_changes_generic
+from ..decoder.generic import decode_changes_vals
 from ..lake.table import LakeTable
 from .pipeline import pack_ord
 from .replay import _batch_id, plan_batches
@@ -46,6 +46,7 @@ _REGISTRY_SCHEMA = StructType([
     StructField("table_name", StringType(), False),
     StructField("columns_json", StringType(), False),
     StructField("pk_json", StringType(), False),
+    StructField("types_json", StringType(), False),
     StructField("ncol", IntegerType(), False),
 ])
 
@@ -77,20 +78,23 @@ def _scan_spans(batches):
                 names = [c.name or f"@{i}"
                          for i, c in enumerate(tme.columns)]
                 pk = [names[i] for i in tme.pk if i < len(names)]
+                types = [[c.type, c.meta, int(c.unsigned), c.charset]
+                         for c in tme.columns]
                 rows[(tme.schema, tme.table, len(names))] = (
                     tme.schema, tme.table, json.dumps(names),
-                    json.dumps(pk), len(names))
+                    json.dumps(pk), json.dumps(types), len(names))
         if rows:
             cols = list(zip(*rows.values()))
             yield pa.RecordBatch.from_arrays(
                 [pa.array(cols[0], pa.string()), pa.array(cols[1], pa.string()),
                  pa.array(cols[2], pa.string()), pa.array(cols[3], pa.string()),
-                 pa.array(cols[4], pa.int32())],
+                 pa.array(cols[4], pa.string()), pa.array(cols[5], pa.int32())],
                 names=[f.name for f in _REGISTRY_SCHEMA.fields])
 
 
 def scan_table_registry(spark: SparkSession, chunks: DataFrame) -> dict:
-    """Discover every table in the dump: {(schema, table): {columns, pk}}.
+    """Discover every table in the dump:
+    {(schema, table): {columns, pk, types}}.
 
     Distributed; column additions are monotonic (SURVEY §1.2) so the
     widest TABLE_MAP per table carries its newest schema."""
@@ -101,33 +105,81 @@ def scan_table_registry(spark: SparkSession, chunks: DataFrame) -> dict:
         cur = reg.get(k)
         if cur is None or r.ncol > len(cur["columns"]):
             reg[k] = {"columns": json.loads(r.columns_json),
-                      "pk": json.loads(r.pk_json)}
+                      "pk": json.loads(r.pk_json),
+                      "types": json.loads(r.types_json)}
     return reg
+
+
+def spark_type_for(mysql_type: int, meta: int, unsigned: int) -> str:
+    """MySQL column type → Spark SQL type for the lake table (the typed
+    surface a downstream user queries; the reference hands callers typed
+    Go values the same way — /root/reference/types.go:118-304).
+
+    Cells arrive as the decoder's canonical strings, so every mapping
+    here must be string-castable by Spark (ISO timestamps, exact-scale
+    decimal strings...).  TIME stays micros-since-midnight (Spark has no
+    time-of-day type); BIT/SET masks and ENUM ordinals stay integers;
+    binary blobs stay hex strings."""
+    from .. import constants as C
+    if mysql_type in (C.TYPE_TINY, C.TYPE_SHORT, C.TYPE_INT24):
+        return "int"
+    if mysql_type == C.TYPE_LONG:
+        return "long" if unsigned else "int"
+    if mysql_type == C.TYPE_LONGLONG:
+        return "decimal(20,0)" if unsigned else "long"
+    if mysql_type == C.TYPE_NEWDECIMAL:
+        return f"decimal({meta & 0xFF},{meta >> 8})"
+    if mysql_type == C.TYPE_FLOAT:
+        return "float"
+    if mysql_type == C.TYPE_DOUBLE:
+        return "double"
+    if mysql_type == C.TYPE_DATE:
+        return "date"
+    if mysql_type in (C.TYPE_DATETIME2, C.TYPE_TIMESTAMP2):
+        return "timestamp"
+    if mysql_type in (C.TYPE_TIME2, C.TYPE_SET, C.TYPE_BIT):
+        return "long"
+    if mysql_type in (C.TYPE_YEAR, C.TYPE_ENUM):
+        return "int"
+    return "string"
 
 
 _META = ("log_file", "log_pos", "seq_in_tx")
 
 
-def table_upserts(staged: DataFrame, columns: list[str],
-                  pk: list[str]) -> DataFrame:
+def table_upserts(staged: DataFrame, columns: list[str], pk: list[str],
+                  types: list[list] | None = None, *,
+                  broadcast_winners: bool = True) -> DataFrame:
     """Generic-event rows of ONE table → reduced upsert batch keyed by pk.
 
-    All-declarative: one ``json_tuple`` parse per image, the key-change
-    tombstone explode of cdc.pipeline.with_key_change_tombstones
-    generalized to arbitrary keys, then the packed-order winner search."""
+    All-declarative: cells come out of the decoder's ordinal
+    ``array<string>`` via element_at (no JSON parse per image) and are
+    cast to the lake's typed columns; the key-change tombstone explode of
+    cdc.pipeline.with_key_change_tombstones generalizes to arbitrary
+    keys; then the packed-order winner search.
+
+    ``broadcast_winners=False`` for batches whose distinct-key count
+    exceeds driver memory — the winner join then shuffles instead
+    (same escape hatch as cdc.pipeline.last_writer_wins)."""
     payload = [c for c in columns if c not in pk]
     a_cols = [f"_a_{c}" for c in columns]
     b_cols = [f"_b_{c}" for c in pk]
-    # json_tuple is a generator (one allowed per SELECT): two projections,
-    # each parsing its image exactly once
+    cast_of = {}
+    if types:
+        for name, t in zip(columns, types):
+            cast_of[name] = spark_type_for(t[0], t[1], t[2])
+
+    def cell(src: str, name: str, i: int) -> F.Column:
+        c = F.element_at(F.col(src), i + 1)
+        typ = cast_of.get(name, "string")
+        return c.cast(typ) if typ != "string" else c
+
     ev = staged.select(
-        "op", "gtid", "ts_sec", *_META, "before_json",
-        F.json_tuple(F.coalesce("after_json", F.lit("{}")), *columns)
-        .alias(*a_cols))
-    ev = ev.select(
-        "op", "gtid", "ts_sec", *_META, *a_cols,
-        F.json_tuple(F.coalesce("before_json", F.lit("{}")), *pk)
-        .alias(*b_cols))
+        "op", "gtid", "ts_sec", *_META,
+        *[cell("after_vals", c, i).alias(f"_a_{c}")
+          for i, c in enumerate(columns)],
+        *[cell("before_vals", c, columns.index(c)).alias(f"_b_{c}")
+          for c in pk])
 
     out_cols = ["op", *pk, *payload, "gtid", "ts_sec", *_META]
 
@@ -153,17 +205,18 @@ def table_upserts(staged: DataFrame, columns: list[str],
         key_changed = key_changed | ~F.col(f"_b_{c}").eqNullSafe(
             F.col(f"_a_{c}"))
     moved = moved & key_changed
-    null_s = F.lit(None).cast("string")
     tomb = {"op": F.lit("D"),
             **{c: F.col(f"_b_{c}") for c in pk},
-            **{c: null_s for c in payload}}
+            **{c: F.lit(None).cast(cast_of.get(c, "string"))
+               for c in payload}}
     arr = F.when(moved, F.array(as_struct(), as_struct(**tomb))) \
         .otherwise(F.array(as_struct()))
     events = ev.select(F.explode(arr).alias("r")).select("r.*")
 
     keyed = events.withColumn("_ord", pack_ord())
-    winners = F.broadcast(
-        keyed.groupBy(*pk).agg(F.max("_ord").alias("_ord")))
+    winners = keyed.groupBy(*pk).agg(F.max("_ord").alias("_ord"))
+    if broadcast_winners:
+        winners = F.broadcast(winners)
     return (keyed.join(winners, on=[*pk, "_ord"], how="inner")
             .dropDuplicates(list(pk))
             .select(*pk, "op", *payload, *_META, "gtid", "ts_sec"))
@@ -176,8 +229,10 @@ def table_root(lake_root: str, schema: str, table: str) -> str:
 def replay_generic(spark: SparkSession, dump_dir: str, lake_root: str, *,
                    chunks_per_batch: int | None = None,
                    partitions: int | None = None,
-                   n_buckets: int = 8) -> dict:
-    """Replay a multi-table dump into one lake table per source table.
+                   n_buckets: int = 8,
+                   broadcast_winners: bool = True) -> dict:
+    """Replay a multi-table dump into one lake table per source table,
+    with TYPED lake columns mapped from each TABLE_MAP's column types.
 
     Same exactly-once contract as cdc.replay.replay: deterministic
     batch_ids, per-table committed-batch skip, resumable mid-dump AND
@@ -193,8 +248,11 @@ def replay_generic(spark: SparkSession, dump_dir: str, lake_root: str, *,
         pk = info["pk"] or info["columns"][:1]  # keyless: first column
         t = LakeTable(table_root(lake_root, sch, tbl), n_buckets=n_buckets,
                       key_cols=tuple(pk))
+        types = {c: spark_type_for(ty[0], ty[1], ty[2])
+                 for c, ty in zip(info["columns"], info["types"])}
         t.create(schema_cols=list(pk) +
-                 [c for c in info["columns"] if c not in pk])
+                 [c for c in info["columns"] if c not in pk],
+                 schema_types=types)
         tables[(sch, tbl)] = t
 
     for i, spans in enumerate(plan_batches(all_chunks, chunks_per_batch)):
@@ -203,7 +261,7 @@ def replay_generic(spark: SparkSession, dump_dir: str, lake_root: str, *,
             continue
         cdf = spark.createDataFrame(spans, "dump_dir string, log_file string,"
                                     " chunk_off long, chunk_len long")
-        events = decode_changes_generic(cdf, partitions=partitions)
+        events = decode_changes_vals(cdf, partitions=partitions)
         staging = os.path.join(lake_root, f".batch-{bid}")
         # ONE decode execution per batch: stage partitioned by table so
         # every per-table reduction reads only its own partition dirs
@@ -213,18 +271,21 @@ def replay_generic(spark: SparkSession, dump_dir: str, lake_root: str, *,
         for (sch, tbl), t in sorted(tables.items()):
             if bid in t.committed_batch_ids():
                 continue
+            info = registry[(sch, tbl)]
             part = os.path.join(staging, f"table_schema={sch}",
                                 f"table_name={tbl}")
             if not os.path.isdir(part):
+                types = {c: spark_type_for(ty[0], ty[1], ty[2])
+                         for c, ty in zip(info["columns"], info["types"])}
                 t.merge(spark, spark.range(0).selectExpr(
-                    *[f"cast(null as string) as `{c}`"
+                    *[f"cast(null as {types.get(c, 'string')}) as `{c}`"
                       for c in t.key_cols]).filter("false"),
                     batch_id=bid)
                 continue
-            info = registry[(sch, tbl)]
             pk = list(t.key_cols)
             up = table_upserts(spark.read.parquet(part),
-                               info["columns"], pk)
+                               info["columns"], pk, info["types"],
+                               broadcast_winners=broadcast_winners)
             last_file = max(s[1] for s in spans)
             last_end = max(s[2] + s[3] for s in spans if s[1] == last_file)
             t.merge(spark, up, batch_id=bid,

@@ -228,6 +228,54 @@ def scan_extra_columns(spans: list[tuple]) -> list[str]:
     return []
 
 
+_SCAN_SCHEMA = "ncol int, extras_json string"
+
+
+def _scan_blob_maps(batches):
+    """mapInArrow worker: per blob, the widest TABLE_MAP's extra column
+    names (rows-events are length-skipped via frame iteration)."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from ..mysql.decode import Cur, iter_frames, parse_table_map
+    from .. import constants as C
+    for rb in batches:
+        d = rb.to_pydict()
+        ncols, extras = [], []
+        for off, data in zip(d["chunk_off"], d["data"]):
+            last = None
+            for fr, _ in iter_frames(data, has_magic=off == 0,
+                                     verify_crc=False):
+                if fr.event_type == C.TABLE_MAP_EVENT:
+                    last = fr.body
+            if last is None:
+                continue
+            tme = parse_table_map(Cur(last))
+            ncols.append(len(tme.columns))
+            extras.append(_json.dumps(
+                [c.name for c in tme.columns
+                 if c.name and c.name not in BASE_COLS]))
+        if ncols:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ncols, pa.int32()), pa.array(extras, pa.string())],
+                names=["ncol", "extras_json"])
+
+
+def scan_extra_columns_blobs(blobs: DataFrame) -> list[str]:
+    """Schema discovery for a STREAMING micro-batch of raw blobs: a small
+    distributed frame scan (TABLE_MAPs parsed, row bytes skipped) instead
+    of executing the decode→reduce pipeline for a distinct-key probe.
+    The widest TABLE_MAP wins (column additions are monotonic)."""
+    import json as _json
+    rows = blobs.select("chunk_off", "data") \
+        .mapInArrow(_scan_blob_maps, _SCAN_SCHEMA).collect()
+    if not rows:
+        return []
+    best = max(rows, key=lambda r: r.ncol)
+    return sorted(set(_json.loads(best.extras_json)))
+
+
 def final_state(upserts: DataFrame) -> DataFrame:
     """Terminal state of an empty-start replay: drop tombstones, promote
     schema-evolution extras."""

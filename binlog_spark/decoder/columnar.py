@@ -1,0 +1,514 @@
+"""Compiled columnar decode for ARBITRARY table schemas.
+
+The round-1 generic path decoded each row into Python objects
+(``decode_value`` per cell through a cursor object) and then rendered a
+canonical-JSON image per row with ``json.dumps`` — ~10× slower per core
+than the specialized repo_files kernel.  This module closes most of that
+gap by COMPILING a decoder per TABLE_MAP layout (the reference's layout
+spec is /root/reference/rbr.go:246-350 + types.go:118-304):
+
+  * one closure per column, specialized on (type, meta, unsigned,
+    charset) at TABLE_MAP parse time — no per-cell type dispatch, no
+    cursor objects, plain offset arithmetic over the event body
+  * values are rendered STRAIGHT to their output string form — a JSON
+    fragment (mode='json', byte-identical to the sequential oracle's
+    ``_image_json``) or a raw cell string (mode='vals', for the typed
+    lake path) — no intermediate datetime/dict objects
+  * the row image's JSON is assembled from precomputed sorted-key
+    prefixes: one string join per image
+
+Compiled readers are cached per distinct TABLE_MAP body and
+columns-present bitmap, so MySQL's re-emitted identical TABLE_MAPs cost
+one dict hit.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json as _json
+import struct
+
+from .. import constants as C
+from ..mysql.decode import decimal_size, decode_decimal
+
+_esc = _json.encoder.encode_basestring_ascii  # C-accelerated
+
+_EPOCH = _dt.datetime(1970, 1, 1)
+
+
+def _float_frag(v: float) -> str:
+    # json.dumps renders floats via float.__repr__ (shortest round-trip)
+    return repr(v)
+
+
+def _dt_iso(y, mo, d, h, mi, s, us) -> str:
+    if us:
+        return (f"{y:04d}-{mo:02d}-{d:02d}T{h:02d}:{mi:02d}:{s:02d}"
+                f".{us:06d}")
+    return f"{y:04d}-{mo:02d}-{d:02d}T{h:02d}:{mi:02d}:{s:02d}"
+
+
+def _frac_bytes(b, pos, meta):
+    """(value, new_pos) for a fractional-seconds suffix of DATETIME2 /
+    TIMESTAMP2 (semantics of mysql.decode._frac)."""
+    n = (meta + 1) // 2
+    if n == 0:
+        return 0, pos
+    return int.from_bytes(b[pos:pos + n], "big") * (100 ** (3 - n)), pos + n
+
+
+def compile_column(col, mode: str):
+    """One (bytes, pos) -> (fragment, new_pos) closure for a column.
+
+    mode='json': fragment is a canonical-JSON value fragment.
+    mode='vals': fragment is the raw cell string (lake-castable)."""
+    t = col.type
+    meta = col.meta
+    as_json = mode == "json"
+
+    if t in (C.TYPE_VARCHAR, C.TYPE_STRING):
+        if meta < 256:
+            def rd(b, pos):
+                ln = b[pos]
+                pos += 1
+                s = str(b[pos:pos + ln], "utf-8")
+                return (_esc(s) if as_json else s), pos + ln
+        else:
+            def rd(b, pos):
+                ln = b[pos] | (b[pos + 1] << 8)
+                pos += 2
+                s = str(b[pos:pos + ln], "utf-8")
+                return (_esc(s) if as_json else s), pos + ln
+        return rd
+
+    if t in (C.TYPE_TINY, C.TYPE_SHORT, C.TYPE_INT24, C.TYPE_LONG,
+             C.TYPE_LONGLONG):
+        width = {C.TYPE_TINY: 1, C.TYPE_SHORT: 2, C.TYPE_INT24: 3,
+                 C.TYPE_LONG: 4, C.TYPE_LONGLONG: 8}[t]
+        unsigned = col.unsigned
+        half = 1 << (width * 8 - 1)
+        full = 1 << (width * 8)
+
+        def rd(b, pos, width=width, half=half, full=full,
+               unsigned=unsigned):
+            v = int.from_bytes(b[pos:pos + width], "little")
+            if not unsigned and v >= half:
+                v -= full
+            return str(v), pos + width
+        return rd
+
+    if t == C.TYPE_NEWDECIMAL:
+        precision, scale = meta & 0xFF, meta >> 8
+        size = decimal_size(precision, scale)
+
+        def rd(b, pos, size=size, precision=precision, scale=scale):
+            s = decode_decimal(bytes(b[pos:pos + size]), precision, scale)
+            return (f'"{s}"' if as_json else s), pos + size
+        return rd
+
+    if t == C.TYPE_FLOAT:
+        def rd(b, pos):
+            v = struct.unpack_from("<f", b, pos)[0]
+            return _float_frag(v), pos + 4
+        return rd
+
+    if t == C.TYPE_DOUBLE:
+        def rd(b, pos):
+            v = struct.unpack_from("<d", b, pos)[0]
+            return _float_frag(v), pos + 8
+        return rd
+
+    if t == C.TYPE_ENUM:
+        width = 1 if meta == 1 else 2
+        values = col.values
+
+        def rd(b, pos, width=width, values=values):
+            idx = int.from_bytes(b[pos:pos + width], "little")
+            if as_json:
+                if values:
+                    label = (_esc(values[idx - 1])
+                             if 0 < idx <= len(values) else '""')
+                else:
+                    label = "null"
+                return f'{{"idx": {idx}, "label": {label}}}', pos + width
+            return str(idx), pos + width
+        return rd
+
+    if t == C.TYPE_SET:
+        nbytes = meta
+        values = col.values
+
+        def rd(b, pos, nbytes=nbytes, values=values):
+            mask = int.from_bytes(b[pos:pos + nbytes], "little")
+            if as_json:
+                if values:
+                    members = "[" + ", ".join(
+                        _esc(v) for i, v in enumerate(values)
+                        if mask & (1 << i)) + "]"
+                else:
+                    members = "null"
+                return f'{{"mask": {mask}, "members": {members}}}', pos + nbytes
+            return str(mask), pos + nbytes
+        return rd
+
+    if t == C.TYPE_BIT:
+        nbits = ((meta >> 8) * 8) + (meta & 0xFF)
+        size = (nbits + 7) // 8
+
+        def rd(b, pos, size=size):
+            v = int.from_bytes(b[pos:pos + size], "big")
+            return str(v), pos + size
+        return rd
+
+    if t in (C.TYPE_BLOB, C.TYPE_GEOMETRY):
+        lw = meta
+        binary = col.charset in C.BINARY_CHARSETS
+
+        def rd(b, pos, lw=lw, binary=binary):
+            ln = int.from_bytes(b[pos:pos + lw], "little")
+            pos += lw
+            raw = bytes(b[pos:pos + ln])
+            if binary:
+                h = raw.hex()
+                frag = (f'{{"$hex": "{h}"}}' if as_json else h)
+            else:
+                s = raw.decode("utf-8", "replace")
+                frag = _esc(s) if as_json else s
+            return frag, pos + ln
+        return rd
+
+    if t == C.TYPE_JSON:
+        lw = meta
+
+        def rd(b, pos, lw=lw):
+            from ..mysql.jsonb import decode_jsonb
+            ln = int.from_bytes(b[pos:pos + lw], "little")
+            pos += lw
+            s = _json.dumps(decode_jsonb(bytes(b[pos:pos + ln])),
+                            separators=(",", ":"), sort_keys=False)
+            return (_esc(s) if as_json else s), pos + ln
+        return rd
+
+    if t == C.TYPE_DATE:
+        def rd(b, pos):
+            v = int.from_bytes(b[pos:pos + 3], "little")
+            if v == 0:
+                return ("null" if as_json else None), pos + 3
+            s = f"{v // 512:04d}-{v // 32 % 16:02d}-{v % 32:02d}"
+            return (f'"{s}"' if as_json else s), pos + 3
+        return rd
+
+    if t == C.TYPE_DATETIME2:
+        def rd(b, pos, meta=meta):
+            dtv = int.from_bytes(b[pos:pos + 5], "big")
+            pos += 5
+            ym = (dtv >> 22) & ((1 << 17) - 1)
+            s_ = _dt_iso(ym // 13, ym % 13, (dtv >> 17) & 31,
+                         (dtv >> 12) & 31, (dtv >> 6) & 63, dtv & 63, 0)
+            frac, pos = _frac_bytes(b, pos, meta)
+            if frac:
+                s_ = s_ + f".{frac:06d}"
+            return (f'"{s_}"' if as_json else s_), pos
+        return rd
+
+    if t == C.TYPE_TIMESTAMP2:
+        def rd(b, pos, meta=meta):
+            sec = int.from_bytes(b[pos:pos + 4], "big")
+            pos += 4
+            frac, pos = _frac_bytes(b, pos, meta)
+            dt = _EPOCH + _dt.timedelta(seconds=sec, microseconds=frac)
+            s_ = _dt_iso(dt.year, dt.month, dt.day, dt.hour, dt.minute,
+                         dt.second, dt.microsecond)
+            return (f'"{s_}"' if as_json else s_), pos
+        return rd
+
+    if t == C.TYPE_TIME2:
+        def rd(b, pos, meta=meta):
+            tv = int.from_bytes(b[pos:pos + 3], "big")
+            pos += 3
+            sign = (tv >> 23) & 1
+            hour = (tv >> 12) & ((1 << 10) - 1)
+            minute = (tv >> 6) & 63
+            sec = tv & 63
+            if sign == 0:  # negative: per-field inversion
+                hour = (~hour) & ((1 << 10) - 1)
+                minute = (~minute) & 63
+                sec = (~sec) & 63
+                n = (meta + 1) // 2
+                frac = 0
+                if n:
+                    v = int.from_bytes(b[pos:pos + n], "big")
+                    pos += n
+                    if v != 0:
+                        bits = n * 8
+                        v = ((~v) & ((1 << bits) - 1)) + 1
+                    frac = v * (100 ** (3 - n))
+                if frac == 0 and sec < 59:  # reference's "+1s" quirk
+                    sec += 1                # (/root/reference/types.go:279-281)
+            else:
+                frac, pos = _frac_bytes(b, pos, meta)
+            micros = (hour * 3600 + minute * 60 + sec) * 1_000_000 + frac
+            return str(-micros if sign == 0 else micros), pos
+        return rd
+
+    if t == C.TYPE_YEAR:
+        def rd(b, pos):
+            v = b[pos]
+            return str(0 if v == 0 else 1900 + v), pos + 1
+        return rd
+
+    return None  # unsupported type — caller falls back to decode_value
+
+
+# ---------------------------------------------------------------------------
+# whole-event codegen
+# ---------------------------------------------------------------------------
+
+#: types whose read is emitted INLINE in the generated source (no helper
+#: call per cell); everything else goes through a compile_column closure
+_INLINE_INTS = {C.TYPE_TINY: 1, C.TYPE_SHORT: 2, C.TYPE_INT24: 3,
+                C.TYPE_LONG: 4, C.TYPE_LONGLONG: 8}
+
+
+def _emit_cell(i: int, col, mode: str, env: dict) -> list[str]:
+    """Source lines that read column ``i`` into ``v{i}`` and advance
+    ``pos``.  Simple fixed-layout types are inlined; complex ones call a
+    per-column closure from ``env`` (one call per cell)."""
+    t = col.type
+    as_json = mode == "json"
+    null_v = "'null'" if as_json else "None"
+    lines = [f"if nm >> {i} & 1:", f"    v{i} = {null_v}", "else:"]
+
+    def body(*src: str) -> list[str]:
+        return lines + [f"    {s}" for s in src]
+
+    if t in (C.TYPE_VARCHAR, C.TYPE_STRING):
+        read = ("ln = b[pos]; pos += 1" if col.meta < 256 else
+                "ln = b[pos] | (b[pos + 1] << 8); pos += 2")
+        val = "str(b[pos:pos+ln], 'utf-8')"
+        if as_json:
+            val = f"_esc({val})"
+        return body(read, f"v{i} = {val}; pos += ln")
+
+    if t in _INLINE_INTS:
+        w = _INLINE_INTS[t]
+        if w == 1:
+            rd = "b[pos]"
+        else:
+            rd = f"int.from_bytes(b[pos:pos+{w}], 'little')"
+        if col.unsigned:
+            return body(f"v{i} = str({rd}); pos += {w}")
+        half, full = 1 << (w * 8 - 1), 1 << (w * 8)
+        return body(f"u = {rd}; pos += {w}",
+                    f"v{i} = str(u - {full} if u >= {half} else u)")
+
+    if t == C.TYPE_YEAR:
+        return body(f"u = b[pos]; pos += 1",
+                    f"v{i} = str(1900 + u) if u else '0'")
+
+    if t == C.TYPE_DATE:
+        q = '"' if as_json else ""
+        return body(
+            "u = int.from_bytes(b[pos:pos+3], 'little'); pos += 3",
+            f"v{i} = ('{q}%04d-%02d-%02d{q}' % (u // 512, u // 32 % 16, "
+            f"u % 32)) if u else {null_v}")
+
+    if t == C.TYPE_BIT:
+        nbits = ((col.meta >> 8) * 8) + (col.meta & 0xFF)
+        size = (nbits + 7) // 8
+        return body(
+            f"v{i} = str(int.from_bytes(b[pos:pos+{size}], 'big'))",
+            f"pos += {size}")
+
+    if t == C.TYPE_FLOAT:
+        return body(f"v{i} = repr(_upf('<f', b, pos)[0]); pos += 4")
+    if t == C.TYPE_DOUBLE:
+        return body(f"v{i} = repr(_upf('<d', b, pos)[0]); pos += 8")
+
+    if t == C.TYPE_NEWDECIMAL:
+        precision, scale = col.meta & 0xFF, col.meta >> 8
+        integral = precision - scale
+        if integral <= 9 and scale <= 9:
+            # single compressed group each side: inline the unpack
+            # (semantics of mysql.decode.decode_decimal)
+            comp = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
+            ci, cf = comp[integral], comp[scale]
+            size = ci + cf
+            top = 1 << (size * 8 - 1)
+            mask = (1 << (size * 8)) - 1
+            if scale:
+                fmt = f"'%d.%0{scale}d' % (u >> {cf * 8}, u & {(1 << (cf * 8)) - 1})"
+            else:
+                fmt = "'%d' % u"
+            q0, q1 = ("'\"' + ", " + '\"'") if as_json else ("", "")
+            return body(
+                f"u = int.from_bytes(b[pos:pos+{size}], 'big'); "
+                f"pos += {size}",
+                f"neg = not (u & {top})",
+                f"u ^= {top}",
+                f"u = ~u & {mask} if neg else u",
+                f"v{i} = {q0}('-' if neg else '') + {fmt}{q1}")
+        # multi-group decimals fall through to the helper
+
+    # complex types: one helper-closure call per cell
+    rd = compile_column(col, mode)
+    if rd is None:
+        return None
+    env[f"h{i}"] = rd
+    return body(f"v{i}, pos = h{i}(b, pos)")
+
+
+def compile_event_reader(tme, present0: bytes, present1: bytes | None,
+                         mode: str, single_target: str = "after"):
+    """exec-compiled whole-event reader: loops all rows of one rows-event
+    in generated code, returning (new_pos, before_list, after_list).
+
+    ``present1`` is None for write/delete events (single image, appended
+    to ``single_target``: 'after' for I, 'before' for D); for updates
+    image0 is the before-image, image1 the after-image."""
+    env: dict = {"_esc": _esc, "_upf": struct.unpack_from}
+
+    def image_lines(present: bytes, out_var: str) -> list[str] | None:
+        ords = _bitmap_ordinals(present, len(tme.columns))
+        cols = [tme.columns[i] for i in ords]
+        nb = (len(cols) + 7) // 8
+        lines = ([f"nm = b[pos]; pos += 1"] if nb == 1 else
+                 [f"nm = int.from_bytes(b[pos:pos+{nb}], 'little'); "
+                  f"pos += {nb}"])
+        for i, c in enumerate(cols):
+            cell = _emit_cell(i, c, mode, env)
+            if cell is None:
+                return None
+            lines += cell
+        if mode == "json":
+            names = [c.name if c.name else f"@{c.ordinal}" for c in cols]
+            order = sorted(range(len(cols)), key=lambda i: names[i])
+            if not order:
+                expr = "'{}'"
+            else:
+                parts = []
+                for rank, i in enumerate(order):
+                    head = "{" if rank == 0 else ", "
+                    key = _esc(names[i])
+                    parts.append(repr(f"{head}{key}: ") + f" + v{i}")
+                expr = " + ".join(parts) + " + '}'"
+        else:
+            expr = "[" + ", ".join(f"v{i}" for i in range(len(cols))) + "]"
+        return lines + [f"{out_var}({expr})"]
+
+    body = ["def _ev(b, pos, end):",
+            "    bs = []; as_ = []",
+            "    ab = bs.append; aa = as_.append",
+            "    while pos < end:"]
+    if present1 is None:
+        img = image_lines(present0,
+                          "aa" if single_target == "after" else "ab")
+        if img is None:
+            return None
+        body += ["        " + ln for ln in img]
+    else:
+        img0 = image_lines(present0, "ab")
+        img1 = image_lines(present1, "aa")
+        if img0 is None or img1 is None:
+            return None
+        body += ["        " + ln for ln in img0]
+        body += ["        " + ln for ln in img1]
+    body.append("    return pos, bs, as_")
+    exec(compile("\n".join(body), "<event-reader>", "exec"), env)
+    return env["_ev"]
+
+
+class ImageReader:
+    """Compiled reader for one (TABLE_MAP, columns-present bitmap, mode):
+    reads a row image and returns its rendered output."""
+
+    __slots__ = ("readers", "names", "prefix_idx", "nb", "mode", "ok")
+
+    def __init__(self, tme, present_cols: list[int], mode: str) -> None:
+        self.mode = mode
+        cols = [tme.columns[i] for i in present_cols]
+        self.readers = []
+        self.ok = True
+        for c in cols:
+            rd = compile_column(c, mode)
+            if rd is None:
+                self.ok = False
+                break
+            self.readers.append(rd)
+        self.names = [c.name if c.name else f"@{c.ordinal}" for c in cols]
+        # canonical JSON: keys sorted, nulls included (matches the
+        # sequential oracle's _image_json)
+        order = sorted(range(len(cols)), key=lambda i: self.names[i])
+        self.prefix_idx = []
+        for rank, i in enumerate(order):
+            # json.dumps default separators (', ', ': ') — must match the
+            # sequential oracle's _image_json byte-for-byte
+            head = "{" if rank == 0 else ", "
+            self.prefix_idx.append((f'{head}{_esc(self.names[i])}: ', i))
+        self.nb = (len(cols) + 7) // 8
+
+    def read(self, b, pos):
+        """(rendered, new_pos): rendered is a JSON object string
+        (mode='json') or a list of cell strings (mode='vals')."""
+        nb = self.nb
+        nm = int.from_bytes(b[pos:pos + nb], "little")
+        pos += nb
+        vals = []
+        ap = vals.append
+        if self.mode == "json":
+            for i, rd in enumerate(self.readers):
+                if (nm >> i) & 1:
+                    ap("null")
+                else:
+                    frag, pos = rd(b, pos)
+                    ap("null" if frag is None else frag)
+            if not self.prefix_idx:
+                return "{}", pos
+            return ("".join(p + vals[i] for p, i in self.prefix_idx) + "}",
+                    pos)
+        for i, rd in enumerate(self.readers):
+            if (nm >> i) & 1:
+                ap(None)
+            else:
+                frag, pos = rd(b, pos)
+                ap(frag)
+        return vals, pos
+
+
+def _bitmap_ordinals(bm: bytes, ncol: int) -> list[int]:
+    return [i for i in range(ncol) if (bm[i >> 3] >> (i & 7)) & 1]
+
+
+class RowsDecoder:
+    """Per-TABLE_MAP compiled rows-event decoder: whole-event readers
+    cached per (present bitmaps, mode, op)."""
+
+    __slots__ = ("tme", "cache", "ev_cache")
+
+    def __init__(self, tme) -> None:
+        self.tme = tme
+        self.cache: dict[tuple, ImageReader] = {}
+        self.ev_cache: dict[tuple, object] = {}
+
+    def reader(self, present: bytes, mode: str) -> ImageReader | None:
+        key = (present, mode)
+        r = self.cache.get(key)
+        if r is None:
+            ords = _bitmap_ordinals(present, len(self.tme.columns))
+            r = ImageReader(self.tme, ords, mode)
+            self.cache[key] = r
+        return r if r.ok else None
+
+    _MISSING = object()
+
+    def event_reader(self, present0: bytes, present1: bytes | None,
+                     mode: str, op: str):
+        """Compiled whole-event reader, or None for uncompilable types."""
+        key = (present0, present1, mode, op)
+        fn = self.ev_cache.get(key, self._MISSING)
+        if fn is self._MISSING:
+            fn = compile_event_reader(
+                self.tme, present0, present1, mode,
+                single_target="before" if op == "D" else "after")
+            self.ev_cache[key] = fn
+        return fn

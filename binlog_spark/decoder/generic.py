@@ -1,24 +1,30 @@
-"""Generic-table decode: any MySQL schema → change events with JSON images.
+"""Generic-table decode: any MySQL schema → change events.
 
 The repo_files kernel (decoder.kernel) is specialized for the lake table's
 fixed columns; this path handles *arbitrary* TABLE_MAP schemas — all 24
 scalar types (packed decimal, bitfield temporals, enum/set, binary JSON…)
-— rendering each row image as a canonical JSON object keyed by column name
-(or ``@ordinal`` when the binlog lacks FULL metadata, mirroring the
-reference CLI's rendering, /root/reference/cmd/binlog/main.go:196-265).
+— via COMPILED per-layout column readers (decoder.columnar), in two
+output modes:
+
+  * ``decode_changes_generic``: canonical JSON row images keyed by column
+    name (or ``@ordinal`` without FULL metadata), mirroring the reference
+    CLI's rendering (/root/reference/cmd/binlog/main.go:196-265)
+  * ``decode_changes_vals``: raw cell strings in TABLE_MAP ordinal order
+    (``array<string>``) — the cheap path for the multi-table lake apply,
+    which casts cells to typed columns instead of parsing JSON
 """
 
 from __future__ import annotations
 
-import datetime as _dt
-import json
 import os
 
 from pyspark.sql import DataFrame
-from pyspark.sql.types import (BooleanType, IntegerType, LongType,
+from pyspark.sql.types import (ArrayType, BooleanType, IntegerType, LongType,
                                StringType, StructField, StructType)
 
-from ..mysql.decode import decode_chunk
+from .. import constants as C
+from ..mysql.decode import Cur, iter_frames, parse_table_map
+from .columnar import RowsDecoder
 
 GENERIC_SCHEMA = StructType([
     StructField("op", StringType(), False),
@@ -34,87 +40,200 @@ GENERIC_SCHEMA = StructType([
     StructField("crc_ok", BooleanType(), False),
 ])
 
+VALS_SCHEMA = StructType([
+    StructField("op", StringType(), False),
+    StructField("table_schema", StringType(), True),
+    StructField("table_name", StringType(), True),
+    StructField("before_vals", ArrayType(StringType()), True),
+    StructField("after_vals", ArrayType(StringType()), True),
+    StructField("gtid", StringType(), True),
+    StructField("seq_in_tx", IntegerType(), False),
+    StructField("log_file", StringType(), False),
+    StructField("log_pos", LongType(), False),
+    StructField("ts_sec", LongType(), False),
+    StructField("crc_ok", BooleanType(), False),
+])
+
 _GCOLS = [f.name for f in GENERIC_SCHEMA.fields]
-
-
-def _jsonable(v):
-    if isinstance(v, bytes):
-        return {"$hex": v.hex()}
-    if isinstance(v, (_dt.datetime, _dt.date)):
-        return v.isoformat()
-    return v
+_VCOLS = [f.name for f in VALS_SCHEMA.fields]
 
 
 def _image_json(names, values) -> str | None:
+    """Canonical JSON for a row image (the sequential-oracle rendering —
+    golden_typed.parquet is produced with this)."""
+    import datetime as _dt
+    import json
+
     if values is None:
         return None
     obj = {}
     for i, v in enumerate(values):
         name = names[i] if i < len(names) and names[i] else f"@{i}"
-        obj[name] = _jsonable(v)
+        if isinstance(v, bytes):
+            v = {"$hex": v.hex()}
+        elif isinstance(v, (_dt.datetime, _dt.date)):
+            v = v.isoformat()
+        obj[name] = v
     return json.dumps(obj, sort_keys=True, default=str)
+
+
+def _lenenc(b, pos):
+    v = b[pos]
+    if v < 0xFB:
+        return v, pos + 1
+    if v == 0xFC:
+        return b[pos + 1] | (b[pos + 2] << 8), pos + 3
+    if v == 0xFD:
+        return (b[pos + 1] | (b[pos + 2] << 8) | (b[pos + 3] << 16)), pos + 4
+    return int.from_bytes(b[pos + 1:pos + 9], "little"), pos + 9
 
 
 def decode_span_generic(data: bytes, log_file: str, *,
                         has_magic: bool = False,
-                        verify_crc: bool = True) -> dict[str, list]:
-    cols: dict[str, list] = {k: [] for k in _GCOLS}
-    ap = {k: cols[k].append for k in _GCOLS}
-    for r in decode_chunk(data, log_file, has_magic=has_magic,
-                          verify_crc=verify_crc):
-        ap["op"](r.op)
-        ap["table_schema"](r.table_schema)
-        ap["table_name"](r.table_name)
-        ap["before_json"](_image_json(r.columns, r.before))
-        ap["after_json"](_image_json(r.columns, r.after))
-        ap["gtid"](r.gtid)
-        ap["seq_in_tx"](r.seq_in_tx)
-        ap["log_file"](r.log_file)
-        ap["log_pos"](r.log_pos)
-        ap["ts_sec"](r.ts)
-        ap["crc_ok"](r.crc_ok)
+                        verify_crc: bool = True,
+                        mode: str = "json") -> dict[str, list]:
+    """Decode one chunk into columnar lists with compiled per-layout
+    readers — no per-record objects, no per-cell type dispatch."""
+    import uuid as _uuid
+    names = _GCOLS if mode == "json" else _VCOLS
+    cols: dict[str, list] = {k: [] for k in names}
+    ex = {k: cols[k].extend for k in names}
+    ex_before = ex["before_json" if mode == "json" else "before_vals"]
+    ex_after = ex["after_json" if mode == "json" else "after_vals"]
+    tme_body_cache: dict[bytes, tuple] = {}
+    tme_cache: dict[int, tuple] = {}
+    gtid = None
+    seq = 0
+    for fr, fde_now in iter_frames(data, has_magic=has_magic,
+                                   verify_crc=verify_crc):
+        t = fr.event_type
+        if t == C.GTID_EVENT or t == C.ANONYMOUS_GTID_EVENT:
+            cur = Cur(fr.body)
+            cur.int1()
+            sid = cur.bytes(16)
+            gno = cur.int8()
+            gtid = f"{_uuid.UUID(bytes=sid)}:{gno}"
+            seq = 0
+        elif t == C.TABLE_MAP_EVENT:
+            key = bytes(fr.body)
+            entry = tme_body_cache.get(key)
+            if entry is None:
+                tme = parse_table_map(Cur(key))
+                entry = tme_body_cache[key] = (tme, RowsDecoder(tme))
+            tme_cache[entry[0].table_id] = entry
+        elif t in C.ROWS_EVENTS:
+            b = fr.body
+            pos8 = 4 if fde_now.post_header(t, 8) == 6 else 6
+            tid = int.from_bytes(b[:pos8], "little")
+            if tid == 0x00FFFFFF:  # dummy
+                continue
+            entry = tme_cache.get(tid)
+            if entry is None:
+                continue
+            tme, dec = entry
+            pos = pos8 + 2  # flags
+            if t in C.ROWS_EVENTS_V2:
+                extra = b[pos] | (b[pos + 1] << 8)
+                pos += extra
+            ncol, pos = _lenenc(b, pos)
+            if ncol == 0:
+                continue
+            nb = (ncol + 7) // 8
+            present0 = bytes(b[pos:pos + nb])
+            pos += nb
+            is_update = t in C.UPDATE_ROWS_EVENTS
+            if is_update:
+                present1 = bytes(b[pos:pos + nb])
+                pos += nb
+            else:
+                present1 = None
+            op = ("I" if t in C.WRITE_ROWS_EVENTS
+                  else "U" if is_update else "D")
+            read_ev = dec.event_reader(present0, present1, mode, op)
+            if read_ev is None:
+                from ..mysql.decode import BinlogError
+                raise BinlogError(
+                    f"uncompilable column layout for table {tme.table}")
+            # whole-event codegen: all rows of the event decode inside one
+            # generated function; the constant columns extend in bulk
+            pos, befores, afters = read_ev(b, pos, len(b))
+            n = len(afters) if op != "D" else len(befores)
+            if not n:
+                continue
+            ex_before(befores if op != "I" else [None] * n)
+            ex_after(afters if op != "D" else [None] * n)
+            ex["op"]([op] * n)
+            ex["table_schema"]([tme.schema] * n)
+            ex["table_name"]([tme.table] * n)
+            ex["gtid"]([gtid] * n)
+            ex["seq_in_tx"](range(seq, seq + n))
+            seq += n
+            ex["log_file"]([log_file] * n)
+            ex["log_pos"]([fr.next_pos] * n)
+            ex["ts_sec"]([fr.timestamp] * n)
+            ex["crc_ok"]([fr.crc_ok] * n)
+        elif t == C.ROTATE_EVENT:
+            tme_cache.clear()
     return cols
 
 
-_ARROW_TYPES = {"seq_in_tx": "int32", "log_pos": "int64",
-                "ts_sec": "int64", "crc_ok": "bool"}
-
-
-def _to_batch(cols: dict[str, list]):
+def _to_batch(cols: dict[str, list], mode: str):
     import pyarrow as pa
-    arrays = [pa.array(cols[k], type=pa.type_for_alias(
-        _ARROW_TYPES.get(k, "string"))) for k in _GCOLS]
-    return pa.RecordBatch.from_arrays(arrays, names=list(_GCOLS))
+    names = _GCOLS if mode == "json" else _VCOLS
+    typ = {"seq_in_tx": pa.int32(), "log_pos": pa.int64(),
+           "ts_sec": pa.int64(), "crc_ok": pa.bool_(),
+           "before_vals": pa.list_(pa.string()),
+           "after_vals": pa.list_(pa.string())}
+    arrays = [pa.array(cols[k], type=typ.get(k, pa.string()))
+              for k in names]
+    return pa.RecordBatch.from_arrays(arrays, names=list(names))
 
 
-def _decode_generic_spans(batches):
-    for rb in batches:
-        d = rb.to_pydict()
-        for dump_dir, log_file, off, ln in zip(
-                d["dump_dir"], d["log_file"], d["chunk_off"], d["chunk_len"]):
-            with open(os.path.join(dump_dir, log_file), "rb") as f:
-                f.seek(off)
-                data = f.read(ln)
-            cols = decode_span_generic(data, log_file, has_magic=off == 0)
-            if cols["op"]:
-                yield _to_batch(cols)
+def _make_worker(mode: str, from_blobs: bool):
+    def work(batches):
+        for rb in batches:
+            d = rb.to_pydict()
+            if from_blobs:
+                it = zip(d["log_file"], d["chunk_off"], d["data"])
+            else:
+                it = None
+            if from_blobs:
+                for log_file, off, data in it:
+                    cols = decode_span_generic(data, log_file,
+                                               has_magic=off == 0, mode=mode)
+                    if cols["op"]:
+                        yield _to_batch(cols, mode)
+            else:
+                for dump_dir, log_file, off, ln in zip(
+                        d["dump_dir"], d["log_file"], d["chunk_off"],
+                        d["chunk_len"]):
+                    with open(os.path.join(dump_dir, log_file), "rb") as f:
+                        f.seek(off)
+                        data = f.read(ln)
+                    cols = decode_span_generic(data, log_file,
+                                               has_magic=off == 0, mode=mode)
+                    if cols["op"]:
+                        yield _to_batch(cols, mode)
+    return work
 
 
-def _decode_generic_blobs(batches):
-    for rb in batches:
-        d = rb.to_pydict()
-        for log_file, off, data in zip(d["log_file"], d["chunk_off"],
-                                       d["data"]):
-            cols = decode_span_generic(data, log_file, has_magic=off == 0)
-            if cols["op"]:
-                yield _to_batch(cols)
+def _decode(chunks: DataFrame, mode: str,
+            partitions: int | None) -> DataFrame:
+    if partitions:
+        chunks = chunks.repartition(partitions)
+    schema = GENERIC_SCHEMA if mode == "json" else VALS_SCHEMA
+    return chunks.mapInArrow(
+        _make_worker(mode, "data" in chunks.columns), schema)
 
 
 def decode_changes_generic(chunks: DataFrame, *,
                            partitions: int | None = None) -> DataFrame:
     """Chunk-span DF → generic change-event DF (JSON row images)."""
-    if partitions:
-        chunks = chunks.repartition(partitions)
-    if "data" in chunks.columns:
-        return chunks.mapInArrow(_decode_generic_blobs, GENERIC_SCHEMA)
-    return chunks.mapInArrow(_decode_generic_spans, GENERIC_SCHEMA)
+    return _decode(chunks, "json", partitions)
+
+
+def decode_changes_vals(chunks: DataFrame, *,
+                        partitions: int | None = None) -> DataFrame:
+    """Chunk-span DF → generic change-event DF (ordinal cell-string
+    arrays; the multi-table apply path casts these to typed columns)."""
+    return _decode(chunks, "vals", partitions)

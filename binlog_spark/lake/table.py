@@ -116,7 +116,11 @@ class LakeTable:
 
     # -- create / read ------------------------------------------------------
 
-    def create(self, schema_cols: list[str] | None = None) -> None:
+    def create(self, schema_cols: list[str] | None = None,
+               schema_types: dict[str, str] | None = None) -> None:
+        """``schema_types``: optional {column: spark sql type string} — a
+        typed lake surface (multi-table replay maps TABLE_MAP types);
+        columns without an entry default to string."""
         os.makedirs(self.snap_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
         if self._current_pointer() is None:
@@ -126,11 +130,16 @@ class LakeTable:
             self._commit_snapshot({
                 "snapshot_id": 0, "parent": None, "batch_id": None,
                 "schema": list(schema_cols or default_schema),
+                "schema_types": dict(schema_types or {}),
                 "key_cols": list(kc),
                 "n_buckets": self._n_buckets_arg,
                 "buckets": {}, "offsets": None,
                 "stats": {"rows": 0}, "committed_at": time.time(),
             })
+
+    def schema_types(self) -> dict[str, str]:
+        snap = self.snapshot()
+        return dict((snap or {}).get("schema_types") or {})
 
     def _commit_snapshot(self, snap: dict) -> None:
         sid = snap["snapshot_id"]
@@ -154,10 +163,11 @@ class LakeTable:
         snap = self.snapshot(snapshot_id)
         files = [f for fl in (snap or {}).get("buckets", {}).values() for f in fl]
         schema_cols = (snap or {}).get("schema") or list((*KEY_COLS, *DATA_COLS))
+        types = dict((snap or {}).get("schema_types") or {})
         if not files:
-            from pyspark.sql.types import StringType, StructField, StructType
-            return spark.createDataFrame(
-                [], StructType([StructField(c, StringType()) for c in schema_cols]))
+            ddl = ", ".join(f"`{c}` {types.get(c, 'string')}"
+                            for c in schema_cols)
+            return spark.createDataFrame([], ddl)
         # mergeSchema: buckets written before a schema evolution lack the
         # new columns
         df = spark.read.option("mergeSchema", "true").parquet(*files)
@@ -165,7 +175,7 @@ class LakeTable:
             df = df.filter(F.col("op") != "D")
         for c in schema_cols:
             if c not in df.columns:
-                df = df.withColumn(c, F.lit(None).cast("string"))
+                df = df.withColumn(c, F.lit(None).cast(types.get(c, "string")))
         return df.select(*schema_cols)
 
     # -- MERGE --------------------------------------------------------------
@@ -216,14 +226,20 @@ class LakeTable:
                                    "stats": {"rows": 0}}
         old_buckets: dict[str, list[str]] = dict(snap.get("buckets", {}))
         schema_cols = list(snap.get("schema") or (*KEY_COLS, *DATA_COLS))
+        schema_types = dict(snap.get("schema_types") or {})
 
         # schema evolution: new columns in the batch widen the table schema
+        # (their lake type comes from the upsert DataFrame's own dtype)
         new_cols = [c for c in upserts.columns
                     if c not in schema_cols and c not in
                     ("op", "before_repo", "before_path", "gtid", "ts_sec",
                      "log_file", "log_pos", "seq_in_tx", "extra_json",
                      "bucket")]
         schema_cols += new_cols
+        up_types = {f.name: f.dataType.simpleString()
+                    for f in upserts.schema.fields}
+        for c in new_cols:
+            schema_types.setdefault(c, up_types.get(c, "string"))
 
         up = upserts.withColumn("bucket", self._bucket_col())
         # commit-order metadata is persisted with every row: MERGE is itself
@@ -276,7 +292,8 @@ class LakeTable:
                         df = df.withColumn(c, F.lit(dflt).cast(typ))
                 for c in schema_cols:
                     if c not in df.columns:
-                        df = df.withColumn(c, F.lit(None).cast("string"))
+                        df = df.withColumn(
+                            c, F.lit(None).cast(schema_types.get(c, "string")))
                 return df.select(*all_cols)
 
             staged = _conform(staged)
@@ -341,6 +358,7 @@ class LakeTable:
             "parent": snap["snapshot_id"] if snap["snapshot_id"] >= 0 else None,
             "batch_id": batch_id,
             "schema": schema_cols,
+            "schema_types": schema_types,
             "key_cols": list(self.key_cols),
             "n_buckets": self.n_buckets,
             "buckets": new_buckets,
@@ -416,6 +434,7 @@ class LakeTable:
             raise ValueError("compact: table has no snapshots")
         files = [f for fl in snap["buckets"].values() for f in fl]
         schema_cols = snap["schema"]
+        schema_types = dict(snap.get("schema_types") or {})
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, commit_id)
         if files:
@@ -424,7 +443,8 @@ class LakeTable:
                 df = df.filter(F.col("op") != "D")
             for c in schema_cols:
                 if c not in df.columns:
-                    df = df.withColumn(c, F.lit(None).cast("string"))
+                    df = df.withColumn(
+                        c, F.lit(None).cast(schema_types.get(c, "string")))
             df = df.withColumn("bucket", self._bucket_col())
             (df.repartition(target_buckets or max(self.n_buckets // 2, 1),
                             "bucket")
@@ -437,6 +457,7 @@ class LakeTable:
             "parent": snap["snapshot_id"],
             "batch_id": f"compact-{commit_id}",
             "schema": schema_cols,
+            "schema_types": schema_types,
             "key_cols": list(self.key_cols),
             "n_buckets": self.n_buckets,
             "buckets": {str(b): fl for b, fl in by_bucket.items()},

@@ -172,12 +172,12 @@ def write_multi_golden(out_dir: str,
                    os.path.join(out_dir, "golden_multi.parquet"))
 
 
-def render(v) -> str | None:
-    """Render a decoded value exactly as Spark's json_tuple sees it after
-    the generic decoder's JSON image rendering."""
-    if v is None:
-        return None
-    if isinstance(v, str):
+def render(v):
+    """A decoded value as the TYPED lake surface exposes it: ints and
+    strings pass through (cdc.multi.spark_type_for maps the fixture's
+    INT/SMALLINT/VARCHAR columns to int/long/string); anything exotic
+    falls back to its JSON rendering."""
+    if v is None or isinstance(v, (str, int)):
         return v
     return json.dumps(v)
 

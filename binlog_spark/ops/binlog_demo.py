@@ -127,7 +127,7 @@ def golden_paths(sf_dir: str) -> dict[str, str]:
     if not os.path.exists(os.path.join(dt, "manifest.json")):
         generate_typed(dt, n_changes=nt)
     nm = _SF_MULTI.get(sf, 6000)
-    dm = f"/tmp/binlog_multi_v2_{sf}_{nm}"
+    dm = f"/tmp/binlog_multi_v3_{sf}_{nm}"
     if not os.path.exists(os.path.join(dm, "manifest.json")):
         generate_multi(dm, n_changes=nm)
     return {
@@ -152,7 +152,7 @@ def binlog_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     sf = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
     n = _SF_MULTI.get(sf, 6000)
-    d = f"/tmp/binlog_multi_v2_{sf}_{n}"
+    d = f"/tmp/binlog_multi_v3_{sf}_{n}"
     if not os.path.exists(os.path.join(d, "manifest.json")):
         generate_multi(d, n_changes=n)
     lake = f"{d}_lake"

@@ -21,7 +21,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..cdc.pipeline import flatten_extras, reduce_changes
+from ..cdc.pipeline import (flatten_extras, reduce_changes,
+                            scan_extra_columns_blobs)
 from ..decoder.kernel import CHANGE_SCHEMA, decode_changes, decode_keys
 from ..lake.table import LakeTable
 
@@ -75,7 +76,11 @@ def stream_apply(spark: SparkSession, dump_dir: str, table_root: str,
         keys = decode_keys(batch_df)
         upserts = reduce_changes(events, salt_buckets=salt_buckets,
                                  key_events=keys)
-        upserts, _ = flatten_extras(upserts)
+        # schema discovery via a cheap distributed TABLE_MAP scan of the
+        # batch's blobs — a name-less flatten_extras would EXECUTE the
+        # upsert pipeline once per micro-batch for a distinct-key probe
+        extra_names = scan_extra_columns_blobs(batch_df)
+        upserts, _ = flatten_extras(upserts, names=extra_names)
         snap = table.merge(spark, upserts,
                            batch_id=f"stream-{checkpoint_dir}-{batch_id}")
         if on_batch is not None:

@@ -65,3 +65,20 @@ def test_stream_incremental_pickup_and_resume(spark, dump_dir, tmp_path):
     n = len(table.snapshots())
     table = _run_drain(spark, staged, root, ckpt)
     assert len(table.snapshots()) == n
+
+
+def test_stream_schema_evolution(spark, tmp_path):
+    """Mid-stream ALTER TABLE: the micro-batch TABLE_MAP scan (no
+    pipeline-executing probe) must still discover the new column and the
+    streamed lake state must match the oracle digest including extras."""
+    d = str(tmp_path / "evodump")
+    gen.generate(d, gen.GenConfig(n_changes=4000, evolve_at=2000,
+                                  max_file_bytes=256 << 10),
+                 chunk_target=128 * 1024)
+    root = str(tmp_path / "evolake")
+    ckpt = str(tmp_path / "evockpt")
+    table = _run_drain(spark, d, root, ckpt)
+    got = table.read(spark)
+    assert "branch" in got.columns
+    assert state_fingerprint(got) == \
+        oracle.state_digest(oracle.final_state(d))
