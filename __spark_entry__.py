@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binlog_replay_state": binlog_demo.binlog_replay_state,
         "binlog_decode_events": binlog_demo.binlog_decode_events,
         "binlog_events_full": binlog_demo.binlog_events_full,
+        "binlog_statement_events": binlog_demo.binlog_statement_events,
         "binlog_typed_decode": binlog_demo.binlog_typed_decode,
         "binlog_multi_table": binlog_demo.binlog_multi_table,
         # --- CDC semantics with a SQL twin (events table) ---
@@ -110,6 +111,13 @@ def oracle_sql() -> dict[str, str]:
                content_sha256, gtid, seq_in_tx, log_file, log_pos, ts_sec
         FROM read_parquet('{g["events"]}')
         ORDER BY log_file, log_pos, seq_in_tx
+    """
+
+    sql["binlog_statement_events"] = f"""
+        SELECT stmt_type, schema_name, text, value, n1, n2, gtid,
+               log_file, log_pos, ts_sec
+        FROM read_parquet('{g["statements"]}')
+        ORDER BY log_file, log_pos
     """
 
     sql["binlog_typed_decode"] = f"""

@@ -349,6 +349,46 @@ def xid_body(xid: int) -> bytes:
     return int8(xid)
 
 
+def intvar_body(kind: int, value: int) -> bytes:
+    """INTVAR body: type(1) + value(8)
+    (layout: /root/reference/events.go:284-298)."""
+    return int1(kind) + int8(value)
+
+
+def rand_body(seed1: int, seed2: int) -> bytes:
+    """RAND body: two 8-byte seeds
+    (layout: /root/reference/events.go:263-272)."""
+    return int8(seed1) + int8(seed2)
+
+
+def user_var_body(name: str, value: str | None,
+                  charset: int = 45) -> bytes:
+    """USER_VAR body: name_len(4) + name + is_null(1) [+ type(1) +
+    charset(4) + val_len(4) + value] — STRING-typed values only
+    (layout: /root/reference/events.go:306-338)."""
+    ndata = name.encode()
+    out = int4(len(ndata)) + ndata
+    if value is None:
+        return out + int1(1)
+    vdata = value.encode()
+    return out + int1(0) + int1(0) + int4(charset) + int4(len(vdata)) + vdata
+
+
+def incident_body(number: int, message: str) -> bytes:
+    """INCIDENT body: incident number(2) + msg_len(1) + message
+    (layout: /root/reference/events.go:245-255)."""
+    mdata = message.encode()
+    return int2(number) + int1(len(mdata)) + mdata
+
+
+def rows_query_body(query: str) -> bytes:
+    """ROWS_QUERY body: len(1) + query text (the length byte is vestigial
+    — readers take the rest of the event;
+    layout: /root/reference/rbr.go:373-386)."""
+    qdata = query.encode()
+    return int1(min(len(qdata), 255)) + qdata
+
+
 def rotate_body(next_file: str, position: int = 4) -> bytes:
     """ROTATE body (layout: /root/reference/events.go:199-205)."""
     return int8(position) + next_file.encode()

@@ -78,6 +78,10 @@ class GenConfig:
     #: (/root/reference/rbr.go:344-349 surfaces both images for exactly
     #: this reason).
     key_move_ratio: float = 0.05
+    #: emit the statement-event variety a real replication stream carries
+    #: (ROWS_QUERY per some transactions, INTVAR/RAND/USER_VAR session
+    #: state, rare INCIDENT, DDL QUERY at the ALTER boundary)
+    stmt_events: bool = True
 
 
 class ChangeScript:
@@ -219,7 +223,19 @@ class BinlogWriter:
         #: decoder reports (decoder.kernel uses fr.next_pos).
         self.record_events = record_events
         self.events_log: list[tuple] = []
+        #: statement-event emission log: (log_file, log_pos, ts, gtid,
+        #: stmt_type, schema, text, value, n1, n2)
+        self.statements_log: list[tuple] = []
         os.makedirs(out_dir, exist_ok=True)
+
+    def emit_statement(self, event_type: int, body: bytes, gtid: str | None,
+                       record: tuple) -> None:
+        """Emit a statement event and log the generator-side truth.
+        record = (stmt_type, schema, text, value, n1, n2)."""
+        self._emit(event_type, body)
+        if self.record_events:
+            self.statements_log.append(
+                (self.cur_name, self.pos, self.ts, gtid, *record))
 
     @property
     def cur_name(self) -> str:
@@ -269,12 +285,18 @@ class BinlogWriter:
                           table_id: int = 100,
                           table: str = TABLE,
                           schema: str = SCHEMA,
-                          pk: Sequence[int] = ()) -> None:
-        """stmts: list of (rows_event_type, rows, before_rows)."""
+                          pk: Sequence[int] = (),
+                          extras: Sequence[tuple] = ()) -> None:
+        """stmts: list of (rows_event_type, rows, before_rows).
+        extras: statement events emitted inside the transaction, each a
+        (event_type, body, record) triple for emit_statement."""
         self.ts += 1
         self._emit(C.GTID_EVENT, E.gtid_body(sid, gno))
-        self._emit(C.QUERY_EVENT, E.query_body(schema, "BEGIN"))
         gtid = f"{uuid.UUID(bytes=sid)}:{gno}" if self.record_events else None
+        self.emit_statement(C.QUERY_EVENT, E.query_body(schema, "BEGIN"),
+                            gtid, ("QUERY", schema, "BEGIN", None, None, None))
+        for ev_type, body, record in extras:
+            self.emit_statement(ev_type, body, gtid, record)
         for ev_type, rows, before in stmts:
             self._emit(C.TABLE_MAP_EVENT,
                        E.table_map_body(table_id, schema, table, columns,
@@ -353,12 +375,46 @@ def generate(out_dir: str, cfg: GenConfig | None = None,
         cur_op = None
         n_ev += 1
 
+    rnd_stmt = random.Random(cfg.seed + 2)
+
+    def tx_extras(gno: int) -> list[tuple]:
+        """Statement events a real stream interleaves inside transactions
+        (/root/reference/events.go:211-338, rbr.go:373-386)."""
+        ex: list[tuple] = []
+        if not cfg.stmt_events:
+            return ex
+        if rnd_stmt.random() < 0.3:
+            q = f"UPDATE `{SCHEMA}`.`{TABLE}` /* tx {gno} */"
+            ex.append((C.ROWS_QUERY_EVENT, E.rows_query_body(q),
+                       ("ROWS_QUERY", None, q, None, None, None)))
+        if rnd_stmt.random() < 0.08:
+            v = rnd_stmt.randrange(1, 1 << 40)
+            ex.append((C.INTVAR_EVENT, E.intvar_body(2, v),
+                       ("INTVAR", None, None, None, 2, v)))
+        if rnd_stmt.random() < 0.04:
+            s1, s2 = (rnd_stmt.randrange(1 << 30),
+                      rnd_stmt.randrange(1 << 30))
+            ex.append((C.RAND_EVENT, E.rand_body(s1, s2),
+                       ("RAND", None, None, None, s1, s2)))
+        if rnd_stmt.random() < 0.04:
+            name = f"v{rnd_stmt.randrange(10)}"
+            val = (None if rnd_stmt.random() < 0.2
+                   else f"val-{rnd_stmt.randrange(1000)}")
+            ex.append((C.USER_VAR_EVENT, E.user_var_body(name, val),
+                       ("USER_VAR", None, name, val, None, None)))
+        return ex
+
     def flush_tx() -> None:
         nonlocal gno, stmts, n_ev
         flush_event()
         if stmts:
             gno += 1
-            w.write_transaction(sid, gno, stmts, cols)
+            w.write_transaction(sid, gno, stmts, cols,
+                                extras=tx_extras(gno))
+            if cfg.stmt_events and rnd_stmt.random() < 0.004:
+                msg = f"incident after tx {gno}"
+                w.emit_statement(C.INCIDENT_EVENT, E.incident_body(1, msg),
+                                 None, ("INCIDENT", None, msg, None, 1, None))
             stmts = []
         n_ev = 0
 
@@ -366,8 +422,16 @@ def generate(out_dir: str, cfg: GenConfig | None = None,
         key = (ch.repo, ch.path)
         if not evolved and script.evolved:
             # ALTER TABLE boundary: close the open transaction under the
-            # old schema; subsequent TABLE_MAPs declare the new column
+            # old schema; subsequent TABLE_MAPs declare the new column.
+            # The DDL itself rides a QUERY event — the trigger a real CDC
+            # consumer watches (/root/reference/events.go:211-237).
             flush_tx()
+            if cfg.stmt_events:
+                ddl = ("ALTER TABLE `lake`.`repo_files` "
+                       "ADD COLUMN `branch` VARCHAR(16) NULL")
+                w.emit_statement(C.QUERY_EVENT, E.query_body(SCHEMA, ddl),
+                                 None,
+                                 ("QUERY", SCHEMA, ddl, None, None, None))
             evolved = True
             cols = evolved_cols
         if cur_op is not None and (ch.op != cur_op or len(rows) >= cfg.rows_per_event):
@@ -415,11 +479,12 @@ def generate(out_dir: str, cfg: GenConfig | None = None,
             json.dump(rec, f)
             f.write("\n")
     if w.record_events:
-        write_goldens(out_dir, final, w.events_log)
+        write_goldens(out_dir, final, w.events_log, w.statements_log)
     return w.manifest
 
 
-def write_goldens(out_dir: str, final: dict, events_log: list) -> None:
+def write_goldens(out_dir: str, final: dict, events_log: list,
+                  statements_log: list | None = None) -> None:
     """Generator-side truth as parquet, for the DuckDB oracle twins.
 
     These are NOT produced by the decoder: the change script's own live
@@ -500,3 +565,21 @@ def write_goldens(out_dir: str, final: dict, events_log: list) -> None:
         "ts_sec": pa.array(cols["ts_sec"], pa.int64()),
     })
     pq.write_table(ev_tbl, os.path.join(out_dir, "golden_events.parquet"))
+
+    if statements_log is None:
+        return
+    sl = statements_log
+    st_tbl = pa.table({
+        "log_file": pa.array([s[0] for s in sl], pa.string()),
+        "log_pos": pa.array([s[1] for s in sl], pa.int64()),
+        "ts_sec": pa.array([s[2] for s in sl], pa.int64()),
+        "gtid": pa.array([s[3] for s in sl], pa.string()),
+        "stmt_type": pa.array([s[4] for s in sl], pa.string()),
+        "schema_name": pa.array([s[5] for s in sl], pa.string()),
+        "text": pa.array([s[6] for s in sl], pa.string()),
+        "value": pa.array([s[7] for s in sl], pa.string()),
+        "n1": pa.array([s[8] for s in sl], pa.int64()),
+        "n2": pa.array([s[9] for s in sl], pa.int64()),
+    })
+    pq.write_table(st_tbl,
+                   os.path.join(out_dir, "golden_statements.parquet"))

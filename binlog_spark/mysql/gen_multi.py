@@ -75,18 +75,24 @@ def generate_multi(out_dir: str, n_changes: int = 3000,
                    seed: int = 11) -> dict:
     rnd = random.Random(seed)
     cfg = GenConfig(n_changes=n_changes)
-    w = BinlogWriter(out_dir, cfg, chunk_target=64 << 10)
+    w = BinlogWriter(out_dir, cfg, chunk_target=64 << 10,
+                     record_events=n_changes <= 500_000)
     w._open_file()
     sid = bytes(range(16))
     live: dict[str, dict[tuple, tuple]] = {t: {} for t in TABLES}
+    # persistent per-table key lists with swap-pop removal — rebuilding
+    # (or .remove()-ing) a list per transaction is O(live set) and made
+    # million-change fixtures quadratic
+    keys_of: dict[str, list[tuple]] = {t: [] for t in TABLES}
+    table_names = list(TABLES)
     uid = 0
     gno = 0
     emitted = 0
     while emitted < n_changes:
         gno += 1
-        table = rnd.choice(list(TABLES))
+        table = rnd.choice(table_names)
         cols, pk = TABLES[table]
-        keys = list(live[table])
+        keys = keys_of[table]
         stmts = []
         for _ in range(rnd.randrange(1, 4)):
             if emitted >= n_changes:
@@ -102,26 +108,28 @@ def generate_multi(out_dir: str, n_changes: int = 3000,
                 keys.append(k)
                 stmts.append((C.WRITE_ROWS_EVENTv2, [row], None))
             elif roll < 0.8:
-                k = rnd.choice(keys)
+                i = rnd.randrange(len(keys))
+                k = keys[i]
                 before = live[table][k]
                 if rnd.random() < 0.15:  # key move
                     uid += 1
                     after = _move_key(table, before, uid)
-                    nk = tuple(after[i] for i in pk)
+                    nk = tuple(after[i2] for i2 in pk)
                     if nk in live[table]:
                         continue
                     del live[table][k]
-                    keys.remove(k)
                     live[table][nk] = after
-                    keys.append(nk)
+                    keys[i] = nk
                 else:
                     after = _mutate(rnd, table, before)
                     live[table][k] = after
                 stmts.append((C.UPDATE_ROWS_EVENTv2, [after], [before]))
             else:
-                k = rnd.choice(keys)
+                i = rnd.randrange(len(keys))
+                k = keys[i]
+                keys[i] = keys[-1]
+                keys.pop()
                 before = live[table].pop(k)
-                keys.remove(k)
                 stmts.append((C.DELETE_ROWS_EVENTv2, [before], None))
             emitted += 1
         if stmts:

@@ -19,8 +19,8 @@ _SF_CHANGES = {"sf0.001": 4000, "sf0.01": 20000, "sf0.1": 400000}
 def _fixture_dir(sf_dir: str) -> tuple[str, int]:
     sf = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
     n = _SF_CHANGES.get(sf, 20000)
-    # v2: key-moving updates + golden parquet oracles in the fixture
-    return f"/tmp/binlog_fixture_v2_{sf}_{n}", n
+    # v3: key-moving updates, statement events + golden parquet oracles
+    return f"/tmp/binlog_fixture_v3_{sf}_{n}", n
 
 
 def ensure_fixture(sf_dir: str) -> str:
@@ -111,6 +111,23 @@ def binlog_events_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("log_file", "log_pos", "seq_in_tx"))
 
 
+def binlog_statement_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statement-event side channel: QUERY (BEGIN + DDL), ROWS_QUERY,
+    INTVAR/RAND/USER_VAR session state and INCIDENT markers, decoded with
+    commit-order offsets (reference parity:
+    /root/reference/events.go:211-338, rbr.go:373-386).  Oracle: the
+    generator's statement emission log (golden_statements.parquet)."""
+    from ..decoder.chunks import chunks_df
+    from ..decoder.statements import decode_statements
+    from ..session import ship_package
+    ship_package(spark)
+    dump = ensure_fixture(sf_dir)
+    return (decode_statements(chunks_df(spark, dump))
+            .select("stmt_type", "schema_name", "text", "value", "n1",
+                    "n2", "gtid", "log_file", "log_pos", "ts_sec")
+            .orderBy("log_file", "log_pos"))
+
+
 _SF_MULTI = {"sf0.001": 1500, "sf0.01": 6000, "sf0.1": 30000}
 
 
@@ -127,12 +144,13 @@ def golden_paths(sf_dir: str) -> dict[str, str]:
     if not os.path.exists(os.path.join(dt, "manifest.json")):
         generate_typed(dt, n_changes=nt)
     nm = _SF_MULTI.get(sf, 6000)
-    dm = f"/tmp/binlog_multi_v3_{sf}_{nm}"
+    dm = f"/tmp/binlog_multi_v4_{sf}_{nm}"
     if not os.path.exists(os.path.join(dm, "manifest.json")):
         generate_multi(dm, n_changes=nm)
     return {
         "state": os.path.join(dump, "golden_state.parquet"),
         "events": os.path.join(dump, "golden_events.parquet"),
+        "statements": os.path.join(dump, "golden_statements.parquet"),
         "typed": os.path.join(dt, "golden_typed.parquet"),
         "multi": os.path.join(dm, "golden_multi.parquet"),
     }
@@ -152,7 +170,7 @@ def binlog_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     sf = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
     n = _SF_MULTI.get(sf, 6000)
-    d = f"/tmp/binlog_multi_v3_{sf}_{n}"
+    d = f"/tmp/binlog_multi_v4_{sf}_{n}"
     if not os.path.exists(os.path.join(d, "manifest.json")):
         generate_multi(d, n_changes=n)
     lake = f"{d}_lake"
