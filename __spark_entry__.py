@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- the CDC engine itself (oracles: golden parquet written by the
         # fixture generator / sequential oracle, read via read_parquet) ---
         "binlog_replay_state": binlog_demo.binlog_replay_state,
+        "binlog_minimal_state": binlog_demo.binlog_minimal_state,
         "binlog_decode_events": binlog_demo.binlog_decode_events,
         "binlog_events_full": binlog_demo.binlog_events_full,
         "binlog_statement_events": binlog_demo.binlog_statement_events,
@@ -96,6 +97,11 @@ def oracle_sql() -> dict[str, str]:
     sql["binlog_replay_state"] = f"""
         SELECT repo, path, commit, lang, content_sha256
         FROM read_parquet('{g["state"]}') ORDER BY repo, path
+    """
+
+    sql["binlog_minimal_state"] = f"""
+        SELECT repo, path, commit, lang, content_sha256
+        FROM read_parquet('{g["minimal_state"]}') ORDER BY repo, path
     """
 
     sql["binlog_decode_events"] = f"""

@@ -58,7 +58,7 @@ def with_key_change_tombstones(events: DataFrame) -> DataFrame:
     null_s = F.lit(None).cast("string")
     over = {"op": F.lit("D"), "repo": F.col("before_repo"),
             "path": F.col("before_path")}
-    for c in ("commit", "lang", "content", "extra_json"):
+    for c in ("commit", "lang", "content", "extra_json", "present_cols"):
         if c in cols:
             over[c] = null_s
     arr = F.when(moved, F.array(as_struct(), as_struct(**over))) \
@@ -174,6 +174,179 @@ def reduce_changes(events: DataFrame, *, salt_buckets: int = 0,
     return last_writer_wins(good, salt_buckets=salt_buckets,
                             key_events=key_good,
                             broadcast_winners=broadcast_winners)
+
+
+def reduce_changes_minimal(events: DataFrame,
+                           extra_names: list[str] | None = None
+                           ) -> DataFrame:
+    """Reduction for streams with MINIMAL row images: partial after-images
+    PATCH columns instead of replacing the row, so last-writer-wins runs
+    PER COLUMN, not per row.
+
+    Per key: a *barrier* is any full-image event (I, full U) or a delete —
+    column values from before the latest barrier are dead.  Each payload
+    column's winner is the latest event at-or-after the barrier where the
+    column was present.  All HashAggregates on the packed-BIGINT order
+    (melt → per-(key,col) max → value join → pivot); no var-length
+    aggregation buffers, no driver state.
+
+    Key-moving partial UPDATEs inherit the unchanged columns of the row
+    at the OLD key (the physical row keeps them in MySQL): events that
+    precede a move-out are remapped to the chain's final key (distributed
+    path doubling over the batch's move edges — chains up to 2^6 hops,
+    no driver state), and the reduced row carries ``base_repo/base_path``
+    so the MERGE can coalesce from the origin row (whose bucket is always
+    touched — its own tombstone stages there).
+
+    Output matches reduce_changes plus ``present_cols``: null = the row
+    fully resolved within this batch (a barrier was seen); else a csv of
+    the columns this batch resolved — LakeTable.merge coalesces the rest
+    from the existing row.  Batches must arrive in log order (true for
+    replay and the streaming tail; idempotent re-delivery of the same
+    batch is safe)."""
+    payload = ["commit", "lang", "content", *(extra_names or [])]
+    good, _bad = quarantine_bad_crc(events)
+    good = with_key_change_tombstones(good)
+    # the decoded stream feeds several sub-plans (moves, barriers, top,
+    # melt) — persist one decode instead of re-decoding per sub-plan
+    ev = good.withColumn("_ord", pack_ord()).persist()
+
+    # --- key-move lineage ---------------------------------------------------
+    moved = ((F.col("op") == "U") & F.col("before_repo").isNotNull()
+             & ((F.col("before_repo") != F.col("repo"))
+                | (F.col("before_path") != F.col("path"))))
+    moves = (ev.filter(moved)
+             .select(F.col("before_repo").alias("f_r"),
+                     F.col("before_path").alias("f_p"),
+                     F.col("repo").alias("t_r"),
+                     F.col("path").alias("t_p"),
+                     F.col("_ord").alias("m_ord")))
+    # terminal closure by path doubling: after k rounds each edge points
+    # ≤2^k hops further; 6 rounds cover 64-hop in-batch chains (a cycle
+    # or longer chain poisons the remap below and raises)
+    fin = moves.select("f_r", "f_p", "t_r", "t_p", "m_ord",
+                       F.col("m_ord").alias("in_ord"))
+    hop = moves.select(F.col("f_r").alias("h_f_r"),
+                       F.col("f_p").alias("h_f_p"),
+                       F.col("t_r").alias("h_t_r"),
+                       F.col("t_p").alias("h_t_p"),
+                       F.col("m_ord").alias("h_ord"))
+    for _ in range(6):
+        fin = (fin.join(F.broadcast(hop),
+                        (F.col("t_r") == F.col("h_f_r"))
+                        & (F.col("t_p") == F.col("h_f_p")), "left")
+               .select("f_r", "f_p",
+                       F.coalesce("h_t_r", "t_r").alias("t_r"),
+                       F.coalesce("h_t_p", "t_p").alias("t_p"),
+                       "m_ord",
+                       F.coalesce("h_ord", "in_ord").alias("in_ord")))
+    # unresolved after 6 doublings = >64-hop chain or a cycle: poison
+    still = (fin.join(F.broadcast(hop),
+                      (F.col("t_r") == F.col("h_f_r"))
+                      & (F.col("t_p") == F.col("h_f_p")), "left"))
+    fin = still.select(
+        "f_r", "f_p", "m_ord", "in_ord",
+        F.when(F.col("h_f_r").isNull(), F.col("t_r"))
+        .otherwise(F.raise_error(F.lit(
+            "reduce_changes_minimal: key-move chain exceeds 64 hops "
+            "within one batch (or cycles); use smaller batches or FULL "
+            "row images"))).alias("t_r"),
+        F.col("t_p"))
+    # remap: events at a moved-from key BEFORE its move-out (and after
+    # its previous move-out, when the key was reused between two moves)
+    # belong to the physical row and follow the chain to the final key
+    from pyspark.sql.window import Window
+    remap = (fin.select(F.col("f_r").alias("r_r"),
+                        F.col("f_p").alias("r_p"), "t_r", "t_p", "m_ord")
+             .withColumn("lo_ord", F.coalesce(
+                 F.lag("m_ord").over(
+                     Window.partitionBy("r_r", "r_p").orderBy("m_ord")),
+                 F.lit(-1))))
+    ev = (ev.join(F.broadcast(remap),
+                  (F.col("repo") == F.col("r_r"))
+                  & (F.col("path") == F.col("r_p"))
+                  & (F.col("_ord") < F.col("m_ord"))
+                  & (F.col("_ord") > F.col("lo_ord")), "left")
+          .withColumn("repo", F.coalesce("t_r", "repo"))
+          .withColumn("path", F.coalesce("t_p", "path"))
+          .drop("r_r", "r_p", "t_r", "t_p", "m_ord", "lo_ord"))
+    # origin per final key: the latest move-in wins (an earlier chain at
+    # the same key is dead behind its barrier); chain starts are
+    # moved-from keys that are nobody's target
+    targets = moves.select(F.col("t_r").alias("x_r"),
+                           F.col("t_p").alias("x_p"))
+    starts = (fin.join(F.broadcast(targets),
+                       (F.col("f_r") == F.col("x_r"))
+                       & (F.col("f_p") == F.col("x_p")), "left_anti"))
+    origin = (starts.groupBy(F.col("t_r").alias("repo"),
+                             F.col("t_p").alias("path"))
+              .agg(F.max(F.struct(F.col("in_ord"),
+                                  F.col("f_r"), F.col("f_p"))).alias("w"))
+              .select("repo", "path", F.col("w.f_r").alias("base_repo_m"),
+                      F.col("w.f_p").alias("base_path_m")))
+
+    is_barrier = (F.col("op") == "D") | F.col("present_cols").isNull()
+    bar = (ev.filter(is_barrier).groupBy(*KEY_COLS)
+           .agg(F.max("_ord").alias("_bar")))
+
+    top_ord = ev.groupBy(*KEY_COLS).agg(F.max("_ord").alias("_ord"))
+    top = (ev.join(F.broadcast(top_ord), on=[*KEY_COLS, "_ord"],
+                   how="inner")
+           .dropDuplicates(list(KEY_COLS))
+           .select(*KEY_COLS, "op", *ORDER_COLS, "gtid", "ts_sec", "_ord"))
+
+    def value_of(c: str) -> F.Column:
+        if c in DATA_COLS:
+            return F.col(c)
+        return F.get_json_object("extra_json", f"$.{c}")
+
+    entries = F.array(*[
+        F.struct(F.lit(c).alias("c"), value_of(c).alias("v"),
+                 (F.col("present_cols").isNull()
+                  | F.array_contains(F.split("present_cols", ","),
+                                     F.lit(c))).alias("p"))
+        for c in payload])
+    melted = (ev.filter(F.col("op") != "D")
+              .select(*KEY_COLS, "_ord",
+                      F.explode(entries).alias("e"))
+              .filter(F.col("e.p"))
+              .select(*KEY_COLS, "_ord", F.col("e.c").alias("_col"),
+                      F.col("e.v").alias("_val")))
+    melted = (melted.join(F.broadcast(bar), on=list(KEY_COLS), how="left")
+              .filter(F.col("_ord") >= F.coalesce(F.col("_bar"),
+                                                  F.lit(-1)))
+              .drop("_bar"))
+    col_winners = (melted.groupBy(*KEY_COLS, "_col")
+                   .agg(F.max("_ord").alias("_ord")))
+    resolved = (melted.join(F.broadcast(col_winners),
+                            on=[*KEY_COLS, "_col", "_ord"], how="inner")
+                .dropDuplicates([*KEY_COLS, "_col"]))
+    pivoted = (resolved.groupBy(*KEY_COLS)
+               .pivot("_col", payload)
+               .agg(F.first("_val").alias("v"),
+                    F.count(F.lit(1)).alias("n")))
+
+    out = top.join(pivoted, on=list(KEY_COLS), how="left") \
+        .join(F.broadcast(bar.select(*KEY_COLS,
+                                     F.lit(True).alias("_has_bar"))),
+              on=list(KEY_COLS), how="left") \
+        .join(F.broadcast(origin), on=list(KEY_COLS), how="left")
+    resolved_csv = F.array_join(F.filter(F.array(*[
+        F.when(F.coalesce(F.col(f"{c}_n"), F.lit(0)) >= 1, F.lit(c))
+        for c in payload]), lambda x: x.isNotNull()), ",")
+    is_patch = (F.col("op") != "D") & F.col("_has_bar").isNull()
+    out = out.select(
+        *KEY_COLS, "op",
+        *[F.col(f"{c}_v").alias(c) for c in payload],
+        F.when(is_patch, resolved_csv)
+        .otherwise(F.lit(None).cast("string")).alias("present_cols"),
+        # the chain-origin key: MERGE inherits unresolved columns from
+        # the row that lived there (null = no move lineage / fully
+        # resolved)
+        F.when(is_patch, F.col("base_repo_m")).alias("base_repo"),
+        F.when(is_patch, F.col("base_path_m")).alias("base_path"),
+        *ORDER_COLS, "gtid", "ts_sec")
+    return out
 
 
 def flatten_extras(upserts: DataFrame,

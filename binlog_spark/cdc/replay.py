@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 from ..decoder.chunks import chunks_df
 from ..decoder.kernel import decode_changes, decode_keys
 from ..lake.table import LakeTable
-from .pipeline import flatten_extras, reduce_changes, scan_extra_columns
+from .pipeline import (flatten_extras, reduce_changes,
+                       reduce_changes_minimal, scan_extra_columns)
 
 
 def _batch_id(dump_dir: str, idx: int, spans: list) -> str:
@@ -64,13 +65,19 @@ def replay(spark: SparkSession, dump_dir: str, table_root: str, *,
            n_buckets: int = 32, partitions: int | None = None,
            lineage: bool = True,
            compact_every: int | None = None,
-           compact_tombstone_ratio: float | None = None) -> LakeTable:
+           compact_tombstone_ratio: float | None = None,
+           minimal_images: bool = False) -> LakeTable:
     """Replay a dump dir into a lake table; safe to re-run (idempotent).
 
     ``compact_every`` / ``compact_tombstone_ratio``: retention policy —
     after each committed batch the table compacts when N commits have
     accumulated since the last compact, or when persisted tombstones
     exceed the given fraction of live rows (see LakeTable.maybe_compact).
+
+    ``minimal_images``: the dump was written under
+    binlog_row_image=MINIMAL — partial after-images are column PATCHES;
+    the reduction runs per column (reduce_changes_minimal) and the MERGE
+    coalesces unresolved columns from the existing rows.
     """
     table = LakeTable(table_root, n_buckets=n_buckets)
     table.create()
@@ -86,17 +93,22 @@ def replay(spark: SparkSession, dump_dir: str, table_root: str, *,
         cdf = spark.createDataFrame(spans, "dump_dir string, log_file string,"
                                     " chunk_off long, chunk_len long")
         events = decode_changes(cdf, partitions=partitions)
-        # late materialization: winner search runs on the cheap key-only
-        # decode; the full decode is joined against the winner set once
-        keys = decode_keys(cdf, partitions=partitions)
-        upserts = reduce_changes(events, salt_buckets=salt_buckets,
-                                 key_events=keys)
         # schema evolution: extras observed in this batch become real
         # columns; the MERGE widens the table schema accordingly.  Names
-        # come from a driver-side TABLE_MAP scan of the last chunk — never
-        # from executing the pipeline.
+        # come from a driver-side TABLE_MAP scan — never from executing
+        # the pipeline.
         extra_names = scan_extra_columns(spans)
-        upserts, _new_cols = flatten_extras(upserts, names=extra_names)
+        if minimal_images:
+            upserts = reduce_changes_minimal(events,
+                                             extra_names=extra_names)
+        else:
+            # late materialization: winner search runs on the cheap
+            # key-only decode; the full decode is joined against the
+            # winner set once
+            keys = decode_keys(cdf, partitions=partitions)
+            upserts = reduce_changes(events, salt_buckets=salt_buckets,
+                                     key_events=keys)
+            upserts, _new_cols = flatten_extras(upserts, names=extra_names)
         last_file = max(s[1] for s in spans)
         last_end = max(s[2] + s[3] for s in spans if s[1] == last_file)
         offsets = {"log_file": last_file, "next_pos": int(last_end)}

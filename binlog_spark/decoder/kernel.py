@@ -50,6 +50,9 @@ CHANGE_SCHEMA = StructType([
     StructField("log_pos", LongType(), False),
     StructField("ts_sec", LongType(), False),
     StructField("crc_ok", BooleanType(), False),
+    # MINIMAL row images: csv of the after-image's present columns; null
+    # for FULL images (the record is then a whole-row replacement)
+    StructField("present_cols", StringType(), True),
 ])
 
 _COLNAMES = [f.name for f in CHANGE_SCHEMA.fields]
@@ -157,14 +160,53 @@ def decode_span_columns(data: bytes, log_file: str, *, has_magic: bool = False,
             tme = tme_cache.get(tid)
             rows = (_parse_rows_fast(fr.body, t, fde_now, tme)
                     if tme is not None else None)
+            bnames = anames = None
             if rows is None:
-                tme, rows = parse_rows_event(Cur(fr.body), t, fde_now,
-                                             tme_cache)
+                tme, rows, bnames, anames = parse_rows_event(
+                    Cur(fr.body), t, fde_now, tme_cache)
             if tme is None or not rows:
                 continue
             op = ("I" if t in C.WRITE_ROWS_EVENTS
                   else "U" if t in C.UPDATE_ROWS_EVENTS else "D")
             pos, ts, crc = fr.next_pos, fr.timestamp, fr.crc_ok
+            full = getattr(tme, "_full_names", None)
+            if full is None:
+                full = tme._full_names = tuple(c.name for c in tme.columns)
+            partial = ((anames is not None and anames != full)
+                       or (bnames is not None and bnames != full))
+            import json as _json
+            if partial:
+                # MINIMAL images: map by present-column name (slow path;
+                # /root/reference/rbr.go:283-303 reads the same subsets)
+                base = ("repo", "path", "commit", "lang", "content")
+                pres_csv = ",".join(anames) if anames is not None else None
+                for before, after in rows:
+                    adict = (dict(zip(anames, after))
+                             if after is not None else {})
+                    bdict = (dict(zip(bnames, before))
+                             if before is not None else {})
+                    img = adict if after is not None else bdict
+                    ap["op"](op)
+                    ap["repo"](img.get("repo"))
+                    ap["path"](img.get("path"))
+                    ap["commit"](adict.get("commit"))
+                    ap["lang"](adict.get("lang"))
+                    ap["content"](adict.get("content"))
+                    ex = {n: v for n, v in adict.items()
+                          if n not in base and v is not None}
+                    ap["extra_json"](_json.dumps(ex, sort_keys=True)
+                                     if ex else None)
+                    ap["before_repo"](bdict.get("repo"))
+                    ap["before_path"](bdict.get("path"))
+                    ap["gtid"](gtid)
+                    ap["seq_in_tx"](seq)
+                    ap["log_file"](log_file)
+                    ap["log_pos"](pos)
+                    ap["ts_sec"](ts)
+                    ap["crc_ok"](crc)
+                    ap["present_cols"](pres_csv if op != "D" else None)
+                    seq += 1
+                continue
             layout = getattr(tme, "_layout", None)
             if layout is None:
                 names = [c.name for c in tme.columns]
@@ -174,7 +216,6 @@ def decode_span_columns(data: bytes, log_file: str, *, has_magic: bool = False,
                 layout = (fixed, extras)
                 tme._layout = layout
             (i_repo, i_path, i_commit, i_lang, i_content), extras = layout
-            import json as _json
             for before, after in rows:
                 img = after if after is not None else before
                 ap["op"](op)
@@ -208,6 +249,7 @@ def decode_span_columns(data: bytes, log_file: str, *, has_magic: bool = False,
                 ap["log_pos"](pos)
                 ap["ts_sec"](ts)
                 ap["crc_ok"](crc)
+                ap["present_cols"](None)
                 seq += 1
         elif t == C.ROTATE_EVENT:
             tme_cache.clear()  # (/root/reference/binlog.go:42)
@@ -265,11 +307,19 @@ def decode_span_keys(data: bytes, log_file: str, *, has_magic: bool = False,
                 continue
             parsed = _parse_rows_keys(fr.body, t, fde_now, tme)
             if parsed is None:
-                # fall back: full parse, keep keys only
-                _t2, rows = parse_rows_event(Cur(fr.body), t, fde_now,
-                                             tme_cache)
-                parsed = [((b[0], b[1]) if b else None,
-                           (a[0], a[1]) if a else None) for b, a in rows]
+                # fall back: full parse, keep keys only — mapped by NAME
+                # so MINIMAL (partial) images resolve correctly
+                _t2, rows, bnames, anames = parse_rows_event(
+                    Cur(fr.body), t, fde_now, tme_cache)
+
+                def key_of(img, names):
+                    if img is None:
+                        return None
+                    d = dict(zip(names, img))
+                    return (d.get("repo"), d.get("path"))
+
+                parsed = [(key_of(b, bnames), key_of(a, anames))
+                          for b, a in rows]
             op = ("I" if t in C.WRITE_ROWS_EVENTS
                   else "U" if t in C.UPDATE_ROWS_EVENTS else "D")
             pos, crc = fr.next_pos, fr.crc_ok

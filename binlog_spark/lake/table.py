@@ -234,13 +234,20 @@ class LakeTable:
                     if c not in schema_cols and c not in
                     ("op", "before_repo", "before_path", "gtid", "ts_sec",
                      "log_file", "log_pos", "seq_in_tx", "extra_json",
-                     "bucket")]
+                     "bucket", "present_cols", "base_repo", "base_path")]
         schema_cols += new_cols
         up_types = {f.name: f.dataType.simpleString()
                     for f in upserts.schema.fields}
         for c in new_cols:
             schema_types.setdefault(c, up_types.get(c, "string"))
 
+        # MINIMAL row images: the reduced batch carries ``present_cols``
+        # (csv of resolved columns, null = fully resolved) and rows are
+        # column PATCHES over the existing key — merge coalesces
+        # unresolved columns from the old row instead of a winner search.
+        # Requires in-log-order batches (replay/tail deliver them so);
+        # identical re-delivery stays idempotent.
+        patch_mode = "present_cols" in upserts.columns
         up = upserts.withColumn("bucket", self._bucket_col())
         # commit-order metadata is persisted with every row: MERGE is itself
         # a last-writer-wins reduction, so batches may arrive out of order
@@ -259,13 +266,17 @@ class LakeTable:
         obs = Observation(f"merge-{commit_id}")
         n_parts = max(self.n_buckets // 2, 1)
 
-        src = (up.select(*up_cols, *meta_cols, "bucket")
+        extra_sel = [c for c in ("present_cols", "base_repo", "base_path")
+                     if c in upserts.columns]
+        src = (up.select(*up_cols, *meta_cols, *extra_sel, "bucket")
                .observe(obs, F.count(F.lit(1)).alias("n"),
                         F.sum(F.when(F.col("op") == "D", 1)
                               .otherwise(0)).alias("d")))
 
         if table_empty:
-            (src.repartition(n_parts, "bucket")
+            # patches onto an empty table: unresolved columns are null;
+            # present_cols is merge metadata, never persisted
+            (src.drop(*extra_sel).repartition(n_parts, "bucket")
              .write.partitionBy("bucket").mode("overwrite").parquet(out_dir))
             by_bucket = self._bucket_files(out_dir)
             touched = sorted(by_bucket)
@@ -283,7 +294,7 @@ class LakeTable:
                 .option("mergeSchema", "true").parquet(staging_dir)
             all_cols = list(schema_cols) + meta_cols
 
-            def _conform(df: DataFrame) -> DataFrame:
+            def _conform(df: DataFrame, extra: list[str] = ()) -> DataFrame:
                 for c, typ, dflt in (("op", "string", "I"),
                                      ("log_file", "string", ""),
                                      ("log_pos", "bigint", 0),
@@ -294,10 +305,57 @@ class LakeTable:
                     if c not in df.columns:
                         df = df.withColumn(
                             c, F.lit(None).cast(schema_types.get(c, "string")))
-                return df.select(*all_cols)
+                return df.select(*all_cols, *extra)
 
-            staged = _conform(staged)
-            if touched_files:
+            staged = _conform(staged, extra_sel)
+            if touched_files and patch_mode:
+                old = _conform(spark.read.option("mergeSchema", "true")
+                               .parquet(*touched_files))
+                keys = list(self.key_cols)
+                non_key = [c for c in all_cols if c not in keys]
+                has_base = "base_repo" in extra_sel
+                s2 = staged.select(
+                    *keys, F.col("present_cols").alias("_s_present"),
+                    *([F.col("base_repo").alias("_s_base_0"),
+                       F.col("base_path").alias("_s_base_1")]
+                      if has_base else []),
+                    *[F.col(c).alias(f"_s_{c}") for c in non_key])
+                # persisted tombstones never donate column values
+                joined = (old.withColumn(
+                    "_old_hit", F.when(F.col("op") != "D", F.lit(True)))
+                    .join(s2, on=keys, how="full_outer"))
+                if has_base:
+                    # key-move lineage: unresolved columns inherit from
+                    # the chain-origin row (its bucket is always touched
+                    # — its own tombstone staged there)
+                    base = old.filter(F.col("op") != "D").select(
+                        *[F.col(k).alias(f"_b_key_{i}")
+                          for i, k in enumerate(keys)],
+                        *[F.col(c).alias(f"_ob_{c}") for c in non_key])
+                    cond = ((F.col("_s_base_0") == F.col("_b_key_0"))
+                            & (F.col("_s_base_1") == F.col("_b_key_1")))
+                    joined = joined.join(base, cond, "left")
+                staged_hit = F.col("_s_op").isNotNull()
+                pres_arr = F.split(F.col("_s_present"), ",")
+
+                def resolve(c: str) -> F.Column:
+                    if c in ("op", *meta_cols):
+                        return F.when(staged_hit, F.col(f"_s_{c}")) \
+                            .otherwise(F.col(c)).alias(c)
+                    has = (F.col("_s_present").isNull()
+                           | F.array_contains(pres_arr, F.lit(c)))
+                    out = F.when(staged_hit & has, F.col(f"_s_{c}"))
+                    if has_base:
+                        out = out.when(F.col("_old_hit").isNotNull(),
+                                       F.col(c)).otherwise(F.col(f"_ob_{c}"))
+                    else:
+                        out = out.otherwise(F.col(c))
+                    return out.alias(c)
+
+                merged = (joined.select(*keys,
+                                        *[resolve(c) for c in non_key])
+                          .withColumn("bucket", self._bucket_col()))
+            elif touched_files:
                 old = _conform(spark.read.option("mergeSchema", "true")
                                .parquet(*touched_files))
                 # MERGE = per-key last-writer-wins between the existing
@@ -322,6 +380,8 @@ class LakeTable:
                           .drop("_ord")
                           .withColumn("bucket", self._bucket_col()))
             else:
+                if extra_sel:
+                    staged = staged.drop(*extra_sel)
                 merged = staged.withColumn("bucket", self._bucket_col())
             (merged.repartition(max(len(touched), 1), "bucket")
              .write.partitionBy("bucket").mode("overwrite").parquet(out_dir))

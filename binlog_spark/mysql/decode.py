@@ -506,9 +506,13 @@ def parse_table_map(cur: Cur) -> TableMap:
 
 def parse_rows_event(cur: Cur, event_type: int, fde: Fde,
                      tme_cache: dict[int, TableMap]):
-    """Parse a ROWS event fully: returns (table_map, rows) where each row is
-    ``(before_values | None, after_values | None)``
-    (semantics of /root/reference/rbr.go:246-350)."""
+    """Parse a ROWS event fully: returns (table_map, rows,
+    before_names, after_names) where each row is
+    ``(before_values | None, after_values | None)`` and the name tuples
+    list the PRESENT columns each image's values align to — they differ
+    from the full schema under binlog_row_image=MINIMAL
+    (/root/reference/rbr.go:283-303 reads the same columns-present
+    bitmaps); semantics of /root/reference/rbr.go:246-350."""
     if fde.post_header(event_type, 8) == 6:
         table_id = cur.int4()
     else:
@@ -532,11 +536,13 @@ def parse_rows_event(cur: Cur, event_type: int, fde: Fde,
 
     rows: list[tuple[list | None, list | None]] = []
     if dummy:
-        return tme, rows
+        return tme, rows, None, None
 
     cols0 = [tme.columns[i] for i in range(ncol) if bitmap_is_set(present0, i)]
     cols1 = ([tme.columns[i] for i in range(ncol) if bitmap_is_set(present1, i)]
              if is_update else None)
+    names0 = tuple(c.name for c in cols0)
+    names1 = tuple(c.name for c in cols1) if cols1 is not None else None
 
     is_write = event_type in C.WRITE_ROWS_EVENTS
 
@@ -554,7 +560,11 @@ def parse_rows_event(cur: Cur, event_type: int, fde: Fde,
             rows.append((None, img0))
         else:
             rows.append((img0, None))       # delete: WHERE image
-    return tme, rows
+    if is_update:
+        return tme, rows, names0, names1
+    if is_write:
+        return tme, rows, None, names0
+    return tme, rows, names0, None
 
 
 def iter_frames(data: bytes | memoryview, *, has_magic: bool = False,
@@ -605,9 +615,17 @@ class ChangeRecord:
     log_pos: int
     ts: int
     crc_ok: bool
-    #: column names from the governing TABLE_MAP (shared tuple per map) —
-    #: carries schema evolution to the applier
+    #: names the AFTER image's values align to (for D: the before/WHERE
+    #: image) — the full TABLE_MAP schema for FULL row images, a subset
+    #: under binlog_row_image=MINIMAL; carries schema evolution to the
+    #: applier
     columns: tuple = ()
+    #: names the BEFORE image aligns to when it differs from ``columns``
+    #: (U with a partial after-image); () means same as ``columns``
+    before_columns: tuple = ()
+    #: True when the after-image is PARTIAL (MINIMAL row image): the
+    #: record is a column PATCH over the existing row, not a replacement
+    partial: bool = False
 
 
 def decode_chunk(data: bytes | memoryview, log_file: str, *,
@@ -639,19 +657,22 @@ def decode_chunk(data: bytes | memoryview, log_file: str, *,
             tme = parse_table_map(Cur(fr.body))
             tme_cache[tme.table_id] = tme
         elif t in C.ROWS_EVENTS:
-            tme, rows = parse_rows_event(Cur(fr.body), t, fde_now, tme_cache)
+            tme, rows, bnames, anames = parse_rows_event(
+                Cur(fr.body), t, fde_now, tme_cache)
             if tme is None:
                 continue
             op = ("I" if t in C.WRITE_ROWS_EVENTS
                   else "U" if t in C.UPDATE_ROWS_EVENTS else "D")
-            names = getattr(tme, "_names", None)
-            if names is None:
-                names = tuple(c.name for c in tme.columns)
-                tme._names = names
+            names = anames if anames is not None else bnames
+            before_names = (bnames if op == "U" and bnames != anames
+                            else ())
+            partial = (op in ("I", "U")
+                       and len(anames) < len(tme.columns))
             for before, after in rows:
                 out.append(ChangeRecord(
                     op, tme.schema, tme.table, before, after, gtid, seq,
-                    log_file, fr.next_pos, fr.timestamp, fr.crc_ok, names))
+                    log_file, fr.next_pos, fr.timestamp, fr.crc_ok, names,
+                    before_names, partial))
                 seq += 1
         elif t == C.ROTATE_EVENT:
             tme_cache.clear()  # (/root/reference/binlog.go:42)

@@ -464,41 +464,56 @@ def table_map_body(table_id: int, schema: str, table: str,
 
 def rows_body(event_type: int, table_id: int, columns: Sequence[ColumnDef],
               rows: Iterable[Sequence[Any]],
-              before_rows: Iterable[Sequence[Any]] | None = None) -> bytes:
+              before_rows: Iterable[Sequence[Any]] | None = None,
+              present: Sequence[bool] | None = None,
+              before_present: Sequence[bool] | None = None) -> bytes:
     """WRITE/UPDATE/DELETE_ROWS v1/v2 body
     (layout: /root/reference/rbr.go:246-350).
 
     For UPDATE events ``rows`` are the after-images and ``before_rows`` the
     before-images; on the wire each row is (before, after) back-to-back and
     the decoder swaps them on return (/root/reference/rbr.go:344-349).
+
+    ``present`` / ``before_present``: columns-present bitmaps for partial
+    images (binlog_row_image=MINIMAL emits PK-only before-images and
+    PK+changed after-images; /root/reference/rbr.go:283-303 reads them).
+    Row value lists then align to the PRESENT columns only.  Defaults to
+    FULL images.
     """
     ncol = len(columns)
+    after_present = list(present) if present is not None else [True] * ncol
+    is_update = event_type in C.UPDATE_ROWS_EVENTS
+    # wire order: image0 = before for updates, so present0 = before's
+    bp = (list(before_present) if before_present is not None
+          else ([True] * ncol if is_update else None))
     out = bytearray()
     out += int6(table_id)
     out += int2(0)  # flags
     if event_type in C.ROWS_EVENTS_V2:
         out += int2(2)  # extra-data length (2 = empty)
     out += lenenc_int(ncol)
-    present = null_bitmap([True] * ncol)  # all columns present
-    out += present
-    is_update = event_type in C.UPDATE_ROWS_EVENTS
     if is_update:
-        out += present
+        out += null_bitmap(bp)
+        out += null_bitmap(after_present)
+    else:
+        out += null_bitmap(after_present)
 
-    def emit_row(row: Sequence[Any]) -> None:
+    def emit_row(row: Sequence[Any], pres: Sequence[bool]) -> None:
+        pcols = [c for c, p in zip(columns, pres) if p]
+        assert len(row) == len(pcols), "row must align to present columns"
         out.extend(null_bitmap([v is None for v in row]))
-        for col, v in zip(columns, row):
+        for col, v in zip(pcols, row):
             if v is not None:
                 out.extend(encode_value(col, v))
 
     if is_update:
         assert before_rows is not None
         for b, a in zip(before_rows, rows):
-            emit_row(b)
-            emit_row(a)
+            emit_row(b, bp)
+            emit_row(a, after_present)
     else:
         for row in rows:
-            emit_row(row)
+            emit_row(row, after_present)
     return bytes(out)
 
 

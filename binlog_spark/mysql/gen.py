@@ -82,6 +82,10 @@ class GenConfig:
     #: (ROWS_QUERY per some transactions, INTVAR/RAND/USER_VAR session
     #: state, rare INCIDENT, DDL QUERY at the ALTER boundary)
     stmt_events: bool = True
+    #: binlog_row_image=MINIMAL: UPDATEs carry PK-only before-images and
+    #: PK+changed after-images; DELETEs carry PK-only WHERE images
+    #: (/root/reference/rbr.go:283-303 reads the columns-present subsets)
+    minimal_images: bool = False
 
 
 class ChangeScript:
@@ -287,9 +291,11 @@ class BinlogWriter:
                           schema: str = SCHEMA,
                           pk: Sequence[int] = (),
                           extras: Sequence[tuple] = ()) -> None:
-        """stmts: list of (rows_event_type, rows, before_rows).
-        extras: statement events emitted inside the transaction, each a
-        (event_type, body, record) triple for emit_statement."""
+        """stmts: (rows_event_type, rows, before_rows[, present,
+        before_present]) tuples — the optional bitmaps mark MINIMAL
+        partial images.  extras: statement events emitted inside the
+        transaction, each a (event_type, body, record) triple for
+        emit_statement."""
         self.ts += 1
         self._emit(C.GTID_EVENT, E.gtid_body(sid, gno))
         gtid = f"{uuid.UUID(bytes=sid)}:{gno}" if self.record_events else None
@@ -297,11 +303,16 @@ class BinlogWriter:
                             gtid, ("QUERY", schema, "BEGIN", None, None, None))
         for ev_type, body, record in extras:
             self.emit_statement(ev_type, body, gtid, record)
-        for ev_type, rows, before in stmts:
+        for stmt in stmts:
+            ev_type, rows, before = stmt[0], stmt[1], stmt[2]
+            present = stmt[3] if len(stmt) > 3 else None
+            before_present = stmt[4] if len(stmt) > 4 else None
             self._emit(C.TABLE_MAP_EVENT,
                        E.table_map_body(table_id, schema, table, columns,
                                         pk=pk))
-            self._emit(ev_type, E.rows_body(ev_type, table_id, columns, rows, before))
+            self._emit(ev_type, E.rows_body(ev_type, table_id, columns,
+                                            rows, before, present=present,
+                                            before_present=before_present))
             if self.record_events:
                 self.events_log.append((self.cur_name, self.pos, self.ts,
                                         gtid, ev_type, rows, before))
@@ -345,7 +356,8 @@ def generate(out_dir: str, cfg: GenConfig | None = None,
     # gate might read; skipped above 500k changes (bench-scale inputs are
     # replicated span lists, not bigger scripts)
     w = BinlogWriter(out_dir, cfg, chunk_target,
-                     record_events=cfg.n_changes <= 500_000)
+                     record_events=(cfg.n_changes <= 500_000
+                                    and not cfg.minimal_images))
     w._open_file()
 
     from .encode import varchar
@@ -360,19 +372,25 @@ def generate(out_dir: str, cfg: GenConfig | None = None,
     cur_op: str | None = None
     rows: list = []
     before_rows: list = []
+    #: per-event columns-present bitmaps (None = FULL image); rows within
+    #: one event share them, like MySQL's statement-level bitmaps
+    cur_present: tuple | None = None
+    cur_bpresent: tuple | None = None
     before_state: dict[tuple[str, str], tuple] = {}
     _EV = {"I": C.WRITE_ROWS_EVENTv2, "U": C.UPDATE_ROWS_EVENTv2,
            "D": C.DELETE_ROWS_EVENTv2}
     n_ev = 0
 
     def flush_event() -> None:
-        nonlocal cur_op, rows, before_rows, n_ev
+        nonlocal cur_op, rows, before_rows, n_ev, cur_present, cur_bpresent
         if cur_op is None or not rows:
             return
         stmts.append((_EV[cur_op], rows,
-                      before_rows if cur_op == "U" else None))
+                      before_rows if cur_op == "U" else None,
+                      cur_present, cur_bpresent))
         rows, before_rows = [], []
         cur_op = None
+        cur_present = cur_bpresent = None
         n_ev += 1
 
     rnd_stmt = random.Random(cfg.seed + 2)
@@ -434,26 +452,52 @@ def generate(out_dir: str, cfg: GenConfig | None = None,
                                  ("QUERY", SCHEMA, ddl, None, None, None))
             evolved = True
             cols = evolved_cols
-        if cur_op is not None and (ch.op != cur_op or len(rows) >= cfg.rows_per_event):
+        ncol = len(cols)
+        # MINIMAL images: compute this change's present bitmaps first so
+        # the event-grouping flush can split on bitmap changes (rows in
+        # one event share the statement-level bitmap)
+        present: tuple | None = None
+        bpresent: tuple | None = None
+        if cfg.minimal_images and ch.op == "U":
+            bkey0 = ((ch.before_repo, ch.before_path)
+                     if ch.before_repo is not None else key)
+            full_b = _pad(before_state[bkey0], ncol)
+            full_a = _row(ch, evolved)
+            present = tuple(i < 2 or full_a[i] != full_b[i]
+                            for i in range(ncol))
+            bpresent = tuple(i < 2 for i in range(ncol))
+        elif cfg.minimal_images and ch.op == "D":
+            present = tuple(i < 2 for i in range(ncol))
+        if cur_op is not None and (ch.op != cur_op
+                                   or len(rows) >= cfg.rows_per_event
+                                   or present != cur_present):
             flush_event()
             if n_ev >= cfg.events_per_tx:
                 flush_tx()
         cur_op = ch.op
-        ncol = len(cols)
+        cur_present, cur_bpresent = present, bpresent
         if ch.op == "I":
             rows.append(_row(ch, evolved))
             before_state[key] = _row(ch, evolved)
         elif ch.op == "U":
             bkey = ((ch.before_repo, ch.before_path)
                     if ch.before_repo is not None else key)
-            if bkey != key:  # key move: the old key's row is gone
-                before_rows.append(_pad(before_state.pop(bkey), ncol))
+            full_b = _pad(before_state.pop(bkey) if bkey != key
+                          else before_state[bkey], ncol)
+            full_a = _row(ch, evolved)
+            if present is not None:
+                before_rows.append([full_b[0], full_b[1]])
+                rows.append([v for v, p in zip(full_a, present) if p])
             else:
-                before_rows.append(_pad(before_state[bkey], ncol))
-            rows.append(_row(ch, evolved))
-            before_state[key] = _row(ch, evolved)
+                before_rows.append(full_b)
+                rows.append(full_a)
+            before_state[key] = full_a
         else:  # delete carries the WHERE image (/root/reference/doc.go:53-65)
-            rows.append(_pad(before_state.pop(key), ncol))
+            full_b = _pad(before_state.pop(key), ncol)
+            if present is not None:
+                rows.append([full_b[0], full_b[1]])
+            else:
+                rows.append(full_b)
         w.manifest.n_changes += 1
     flush_tx()
     w._emit(C.ROTATE_EVENT, E.rotate_body(f"binlog.{w.file_no + 1:06d}", 4))
@@ -480,7 +524,29 @@ def generate(out_dir: str, cfg: GenConfig | None = None,
             f.write("\n")
     if w.record_events:
         write_goldens(out_dir, final, w.events_log, w.statements_log)
+    elif cfg.n_changes <= 500_000:
+        # MINIMAL-image fixtures: the per-event emission log assumes full
+        # rows, but the final-state golden is image-agnostic
+        write_state_golden(out_dir, final)
     return w.manifest
+
+
+def write_state_golden(out_dir: str, final: dict) -> None:
+    import hashlib as _hl
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = sorted(final.items())
+    state_tbl = pa.table({
+        "repo": [k[0] for k, _ in rows],
+        "path": [k[1] for k, _ in rows],
+        "commit": [r[0] for _, r in rows],
+        "lang": [r[1] for _, r in rows],
+        "content_sha256": [_hl.sha256((r[2] or "").encode()).hexdigest()
+                           for _, r in rows],
+    })
+    pq.write_table(state_tbl, os.path.join(out_dir, "golden_state.parquet"))
 
 
 def write_goldens(out_dir: str, final: dict, events_log: list,
@@ -503,16 +569,7 @@ def write_goldens(out_dir: str, final: dict, events_log: list,
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rows = sorted(final.items())
-    state_tbl = pa.table({
-        "repo": [k[0] for k, _ in rows],
-        "path": [k[1] for k, _ in rows],
-        "commit": [r[0] for _, r in rows],
-        "lang": [r[1] for _, r in rows],
-        "content_sha256": [_hl.sha256((r[2] or "").encode()).hexdigest()
-                           for _, r in rows],
-    })
-    pq.write_table(state_tbl, os.path.join(out_dir, "golden_state.parquet"))
+    write_state_golden(out_dir, final)
 
     cols: dict[str, list] = {k: [] for k in (
         "op", "repo", "path", "before_repo", "before_path", "commit",

@@ -61,10 +61,16 @@ def apply_records(records: Iterator[ChangeRecord],
         if r.op in ("I", "U"):
             row = dict(zip(names, r.after))
             if r.op == "U" and r.before is not None:
+                bnames = r.before_columns or names
+                brow = dict(zip(bnames, r.before))
+                bkey = (brow["repo"], brow["path"])
+                if r.partial:
+                    # MINIMAL after-image: the record PATCHES the row at
+                    # the before-key (/root/reference/rbr.go:283-303
+                    # surfaces the same columns-present subsets)
+                    row = {**state.get(bkey, {}), **row}
                 # a key-moving UPDATE vacates the old key (the engine emits
                 # a tombstone there — cdc.pipeline.with_key_change_tombstones)
-                brow = dict(zip(names, r.before))
-                bkey = (brow["repo"], brow["path"])
                 if bkey != (row["repo"], row["path"]):
                     state.pop(bkey, None)
             state[(row["repo"], row["path"])] = row

@@ -111,6 +111,43 @@ def binlog_events_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("log_file", "log_pos", "seq_in_tx"))
 
 
+_SF_MINIMAL = {"sf0.001": 2000, "sf0.01": 8000, "sf0.1": 40000}
+
+
+def _minimal_fixture(sf_dir: str) -> str:
+    from ..mysql import gen
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
+    n = _SF_MINIMAL.get(sf, 8000)
+    d = f"/tmp/binlog_minimal_v1_{sf}_{n}"
+    if not os.path.exists(os.path.join(d, "manifest.json")):
+        gen.generate(d, gen.GenConfig(n_changes=n, minimal_images=True,
+                                      max_file_bytes=8 << 20),
+                     chunk_target=512 << 10)
+    return d
+
+
+def binlog_minimal_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full replay of a binlog_row_image=MINIMAL dump (partial
+    before/after images, PK-only deletes, key-move lineage) through the
+    per-column reduction + patch-aware MERGE, vs the generator's final
+    state (golden_state.parquet — generator-side truth)."""
+    import shutil
+
+    from ..cdc.replay import replay
+    from ..session import ship_package
+    ship_package(spark)
+    d = _minimal_fixture(sf_dir)
+    lake = f"{d}_lake"
+    shutil.rmtree(lake, ignore_errors=True)
+    table = replay(spark, d, lake, chunks_per_batch=20, n_buckets=8,
+                   lineage=False, minimal_images=True)
+    state = table.read(spark)
+    return (state.select("repo", "path", "commit", "lang",
+                         F.sha2(F.coalesce("content", F.lit("")), 256)
+                         .alias("content_sha256"))
+            .orderBy("repo", "path"))
+
+
 def binlog_statement_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The statement-event side channel: QUERY (BEGIN + DDL), ROWS_QUERY,
     INTVAR/RAND/USER_VAR session state and INCIDENT markers, decoded with
@@ -153,6 +190,8 @@ def golden_paths(sf_dir: str) -> dict[str, str]:
         "statements": os.path.join(dump, "golden_statements.parquet"),
         "typed": os.path.join(dt, "golden_typed.parquet"),
         "multi": os.path.join(dm, "golden_multi.parquet"),
+        "minimal_state": os.path.join(_minimal_fixture(sf_dir),
+                                      "golden_state.parquet"),
     }
 
 
