@@ -73,26 +73,23 @@ def with_key_change_tombstones(events: DataFrame) -> DataFrame:
 #: file, seq clamped at 32767 (ties beyond that break arbitrarily — only
 #: reachable for >32k-row single-key transactions).
 def pack_ord(*, strict: bool = True) -> F.Column:
-    """``strict=True`` (the CDC pipeline): an out-of-bounds offset —
-    log_pos ≥ 2^30 (a >1 GiB binlog file, possible when a huge transaction
-    overruns max_binlog_size), ≥262k files, or a log_file without a numeric
-    suffix — raises instead of silently corrupting the winner order or
-    dropping the row via a null key.  ``strict=False`` (lake MERGE over
-    rows that may predate CDC metadata): invalid offsets pack to 0, the
-    lowest order, so such rows lose to any real CDC row but are never
-    dropped."""
+    """``strict=True`` (the CDC pipeline): plain branch-free arithmetic —
+    the bounds (numeric log_file suffix, file offsets < 2^30, file number
+    < 2^18) are enforced ONCE PER CHUNK at read time
+    (decoder.chunks.check_span_bounds raises before any row decodes), so
+    the per-row expression stays inside whole-stage codegen (a per-row
+    raise_error branch cost ~60% of the reduce).  ``strict=False`` (lake
+    MERGE over rows that may predate CDC metadata): invalid offsets pack
+    to 0, the lowest order, so such rows lose to any real CDC row but are
+    never dropped via a null key."""
     file_no = F.regexp_extract("log_file", r"(\d+)$", 1).cast("long")
     seq = F.least(F.col("seq_in_tx").cast("long"), F.lit(32767))
     packed = (F.shiftleft(file_no, 45)
               + F.shiftleft(F.col("log_pos"), 15) + seq)
+    if strict:
+        return packed.alias("_ord")
     valid = (file_no.isNotNull() & (file_no < F.lit(1 << 18))
              & (F.col("log_pos") >= 0) & (F.col("log_pos") < F.lit(1 << 30)))
-    if strict:
-        err = F.raise_error(F.concat(
-            F.lit("pack_ord: offset outside packable bounds: "),
-            F.coalesce(F.col("log_file"), F.lit("<null>")), F.lit(":"),
-            F.col("log_pos").cast("string"))).cast("long")
-        return F.when(valid, packed).otherwise(err).alias("_ord")
     return F.when(valid, packed).otherwise(F.lit(0).cast("long")).alias("_ord")
 
 

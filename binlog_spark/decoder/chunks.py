@@ -35,6 +35,33 @@ def read_manifest(dump_dir: str) -> dict:
         return json.load(f)
 
 
+import re as _re
+
+_FILE_NO = _re.compile(r"(\d+)$")
+
+
+def check_span_bounds(log_file: str, off: int, length: int) -> None:
+    """Enforce the packed-order bounds ONCE PER CHUNK, before any row
+    decodes: cdc.pipeline.pack_ord packs file_no(18b)|log_pos(30b)|seq —
+    a >1 GiB binlog file (a huge transaction can overrun
+    max_binlog_size), ≥262k files, or a log_file without a numeric
+    suffix would silently corrupt the commit order, so they fail loudly
+    here instead of per-row branches in the hot reduce."""
+    m = _FILE_NO.search(log_file)
+    if m is None:
+        raise ValueError(
+            f"binlog file name {log_file!r} has no numeric suffix — "
+            "commit order cannot be packed")
+    if int(m.group(1)) >= (1 << 18):
+        raise ValueError(
+            f"binlog file number {m.group(1)} exceeds the 2^18 packable "
+            "bound")
+    if off + length >= (1 << 30):
+        raise ValueError(
+            f"binlog offset {off + length} in {log_file} exceeds the "
+            "1 GiB packable bound (file overran max_binlog_size)")
+
+
 def scan_chunks(dump_dir: str, chunk_target: int = 4 << 20) -> list[tuple]:
     """Discover transaction-aligned chunk spans without a manifest by
     scanning event headers (the role of the reference's MasterStatus

@@ -24,6 +24,7 @@ from pyspark.sql.types import (ArrayType, BooleanType, IntegerType, LongType,
 
 from .. import constants as C
 from ..mysql.decode import Cur, iter_frames, parse_table_map
+from .chunks import check_span_bounds
 from .columnar import RowsDecoder
 
 GENERIC_SCHEMA = StructType([
@@ -149,6 +150,16 @@ def decode_span_generic(data: bytes, log_file: str, *,
                 present1 = None
             op = ("I" if t in C.WRITE_ROWS_EVENTS
                   else "U" if is_update else "D")
+            if mode == "vals":
+                full = bytes([0xFF] * (ncol // 8)
+                             + ([(1 << (ncol % 8)) - 1] if ncol % 8 else []))
+                if present0 != full or (present1 is not None
+                                        and present1 != full):
+                    from ..mysql.decode import BinlogError
+                    raise BinlogError(
+                        "MINIMAL (partial) row images are not supported "
+                        "on the multi-table vals path; replay with FULL "
+                        "row images or the single-table minimal pipeline")
             read_ev = dec.event_reader(present0, present1, mode, op)
             if read_ev is None:
                 from ..mysql.decode import BinlogError
@@ -199,6 +210,7 @@ def _make_worker(mode: str, from_blobs: bool):
                 it = None
             if from_blobs:
                 for log_file, off, data in it:
+                    check_span_bounds(log_file, off, len(data))
                     cols = decode_span_generic(data, log_file,
                                                has_magic=off == 0, mode=mode)
                     if cols["op"]:
@@ -207,6 +219,7 @@ def _make_worker(mode: str, from_blobs: bool):
                 for dump_dir, log_file, off, ln in zip(
                         d["dump_dir"], d["log_file"], d["chunk_off"],
                         d["chunk_len"]):
+                    check_span_bounds(log_file, off, ln)
                     with open(os.path.join(dump_dir, log_file), "rb") as f:
                         f.seek(off)
                         data = f.read(ln)

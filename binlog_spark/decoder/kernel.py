@@ -32,6 +32,7 @@ from pyspark.sql.types import (BooleanType, IntegerType, LongType, StringType,
 
 from .. import constants as C
 from ..mysql.decode import Cur, iter_frames, parse_rows_event, parse_table_map
+from .chunks import check_span_bounds
 
 CHANGE_SCHEMA = StructType([
     StructField("op", StringType(), False),
@@ -421,6 +422,7 @@ def _decode_spans_arrow(batches):
         d = rb.to_pydict()
         for dump_dir, log_file, off, ln in zip(
                 d["dump_dir"], d["log_file"], d["chunk_off"], d["chunk_len"]):
+            check_span_bounds(log_file, off, ln)
             with open(os.path.join(dump_dir, log_file), "rb") as f:
                 f.seek(off)
                 data = f.read(ln)
@@ -434,6 +436,7 @@ def _decode_blobs_arrow(batches):
         d = rb.to_pydict()
         for log_file, off, data in zip(d["log_file"], d["chunk_off"],
                                        d["data"]):
+            check_span_bounds(log_file, off, len(data))
             cols = decode_span_columns(data, log_file, has_magic=off == 0)
             if cols["op"]:
                 yield _cols_to_batch(cols)
@@ -459,6 +462,7 @@ def _decode_keys_spans_arrow(batches):
         d = rb.to_pydict()
         for dump_dir, log_file, off, ln in zip(
                 d["dump_dir"], d["log_file"], d["chunk_off"], d["chunk_len"]):
+            check_span_bounds(log_file, off, ln)
             with open(os.path.join(dump_dir, log_file), "rb") as f:
                 f.seek(off)
                 data = f.read(ln)
@@ -472,6 +476,7 @@ def _decode_keys_blobs_arrow(batches):
         d = rb.to_pydict()
         for log_file, off, data in zip(d["log_file"], d["chunk_off"],
                                        d["data"]):
+            check_span_bounds(log_file, off, len(data))
             cols = decode_span_keys(data, log_file, has_magic=off == 0)
             if cols["op"]:
                 yield _keys_to_batch(cols)

@@ -567,13 +567,48 @@ def parse_rows_event(cur: Cur, event_type: int, fde: Fde,
     return tme, rows, names0, None
 
 
+def infer_binlog_version(data: bytes | memoryview,
+                         has_magic: bool = True) -> int:
+    """Classify a binlog file's format version from its first event
+    (rule of /root/reference/version.go:9-64, local.go:216-244):
+
+      * FORMAT_DESCRIPTION as first event        → v4 (MySQL ≥ 5.0)
+      * START_EVENT_V3 with event_size < 75      → v1 (pre-4.0; 69-byte
+        start event under the old 13-byte header)
+      * START_EVENT_V3 otherwise                 → v3 (4.0/4.1)
+      * anything else (e.g. mid-stream slice)    → v3 per the rule
+    """
+    mv = memoryview(data)
+    pos = 4 if has_magic else 0
+    if len(mv) < pos + 13:
+        return 4  # empty/truncated head: assume modern
+    typ = mv[pos + 4]
+    size = struct.unpack_from("<I", mv, pos + 9)[0]
+    if typ == C.FORMAT_DESCRIPTION_EVENT:
+        return 4
+    if typ == C.START_EVENT_V3:
+        return 1 if size < 75 else 3
+    return 3
+
+
 def iter_frames(data: bytes | memoryview, *, has_magic: bool = False,
                 fde: Fde | None = None, verify_crc: bool = True
                 ) -> Iterator[tuple[EventFrame, Fde]]:
     """Split a chunk into event frames (two-pass strategy from SURVEY §7:
-    fixed-width header scan, then per-event bounded views)."""
+    fixed-width header scan, then per-event bounded views).
+
+    File heads (``has_magic=True``) are version-checked: v1/v3 dumps use
+    13-byte headers / no FORMAT_DESCRIPTION and would silently misframe,
+    so they raise instead (the reference decodes them; here v4 — every
+    MySQL since 5.0 — is the supported surface)."""
     mv = memoryview(data)
     pos = 4 if has_magic else 0
+    if has_magic and len(mv) >= pos + 13:
+        ver = infer_binlog_version(mv, has_magic=True)
+        if ver != 4:
+            raise BinlogError(
+                f"binlog format v{ver} (pre-5.0) is not supported; "
+                "only v4 dumps decode")
     cur_fde = fde or DEFAULT_FDE
     n = len(mv)
     while pos + C.HEADER_SIZE <= n:

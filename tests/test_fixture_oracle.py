@@ -162,3 +162,29 @@ def test_golden_events_match_oracle_decode(fixture_dir):
                 g["log_file"], g["log_pos"]) == \
                (r.op, img[0], img[1], r.gtid, r.seq_in_tx, r.log_file,
                 r.log_pos)
+
+
+def test_binlog_version_inference(fixture_dir):
+    """v4 classified from FORMAT_DESCRIPTION; v1/v3 (START_EVENT_V3
+    heads) classified by event size and rejected by the framer
+    (/root/reference/version.go:9-64 rule)."""
+    import struct
+
+    from binlog_spark.mysql.decode import (BinlogError,
+                                           infer_binlog_version,
+                                           iter_frames)
+    name = oracle.list_files(fixture_dir)[0]
+    data = open(os.path.join(fixture_dir, name), "rb").read()
+    assert infer_binlog_version(data) == 4
+
+    def fake_head(event_type, size):
+        hdr = struct.pack("<IBIIIH", 0, event_type, 1, size, 4 + size, 0)
+        return C.MAGIC + hdr + b"\x00" * (size - 19)
+
+    v3 = fake_head(C.START_EVENT_V3, 75 + 19)
+    v1 = fake_head(C.START_EVENT_V3, 69)
+    assert infer_binlog_version(v3) == 3
+    assert infer_binlog_version(v1) == 1
+    for bad in (v3, v1):
+        with pytest.raises(BinlogError):
+            list(iter_frames(bad, has_magic=True))
