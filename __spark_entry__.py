@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": dedup.doc_exact_dedup,
         "doc_minhash_dups": dedup.doc_minhash_dups,
         "doc_ngram_jaccard": dedup.doc_ngram_jaccard,
+        "doc_dedup_clusters": dedup.doc_dedup_clusters,
         # --- similarity search (embeddings) ---
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
@@ -422,6 +423,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_a, doc_b, jaccard
         FROM read_parquet('{goldens.golden_doc_ngram_jaccard(sfd)}')
         ORDER BY doc_a, doc_b
+    """
+
+    sql["doc_dedup_clusters"] = f"""
+        SELECT doc_id, cluster_id, cluster_size
+        FROM read_parquet('{goldens.golden_doc_dedup_clusters(sfd)}')
+        ORDER BY doc_id
     """
 
     sql["ann_lsh_topk"] = f"""

@@ -185,6 +185,11 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 20,
             (res[lo]["wall_sec"] / res[hi]["wall_sec"]) / (hi / lo), 3),
         f"cpu_us_per_event_c{lo}": res[lo]["cpu_us_per_event"],
         f"cpu_us_per_event_c{hi}": res[hi]["cpu_us_per_event"],
+        # phantom host load at measurement time: ~L cores of external CPU
+        # tax the 4N config ~4× harder than N (N leaves more idle
+        # headroom), so read the efficiency next to these
+        f"ext_load_c{lo}": res[lo]["ext_load"],
+        f"ext_load_c{hi}": res[hi]["ext_load"],
     }
 
 

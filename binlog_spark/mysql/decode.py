@@ -567,6 +567,29 @@ def parse_rows_event(cur: Cur, event_type: int, fde: Fde,
     return tme, rows, names0, None
 
 
+NOCRC_FDE = Fde(checksum_len=0)
+
+
+def _probe_checksum(mv: memoryview, pos: int) -> Fde:
+    """Checksum-presence probe for FDE-less chunks (see iter_frames):
+    CRC32 is assumed present iff ANY of the first three frames' trailing
+    4 bytes match — so a single corrupted event can't flip a checksummed
+    dump to NOCRC (it still surfaces as crc_ok=False), while a
+    binlog_checksum=NONE dump matches none (odds ~3·2^-32)."""
+    n = len(mv)
+    probed = 0
+    while probed < 3 and pos + C.HEADER_SIZE <= n:
+        size = struct.unpack_from("<I", mv, pos + 9)[0]
+        if size < C.HEADER_SIZE + 4 or pos + size > n:
+            break
+        want = struct.unpack_from("<I", mv, pos + size - 4)[0]
+        if zlib.crc32(mv[pos:pos + size - 4]) == want:
+            return DEFAULT_FDE
+        probed += 1
+        pos += size
+    return NOCRC_FDE if probed else DEFAULT_FDE
+
+
 def infer_binlog_version(data: bytes | memoryview,
                          has_magic: bool = True) -> int:
     """Classify a binlog file's format version from its first event
@@ -609,6 +632,14 @@ def iter_frames(data: bytes | memoryview, *, has_magic: bool = False,
             raise BinlogError(
                 f"binlog format v{ver} (pre-5.0) is not supported; "
                 "only v4 dumps decode")
+    if fde is None and not has_magic:
+        # mid-file chunk with no FORMAT_DESCRIPTION to declare the
+        # checksum algorithm: probe the first complete frame — if its
+        # trailing 4 bytes CRC32-match the rest, the dump carries
+        # checksums (false positive odds 2^-32); else it was written
+        # with binlog_checksum=NONE and DEFAULT_FDE's assumption of
+        # CRC32 would misframe every body
+        fde = _probe_checksum(mv, pos)
     cur_fde = fde or DEFAULT_FDE
     n = len(mv)
     while pos + C.HEADER_SIZE <= n:

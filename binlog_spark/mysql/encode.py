@@ -315,7 +315,8 @@ _POST_HEADER_LEN = {
 }
 
 
-def fde_body(server_version: str = "8.0.27-binlog-spark") -> bytes:
+def fde_body(server_version: str = "8.0.27-binlog-spark",
+             checksum: bool = True) -> bytes:
     """FORMAT_DESCRIPTION body (layout: /root/reference/events.go:162-179).
 
     Tail = post-header-length table + checksum-algorithm byte; the decoder
@@ -328,7 +329,8 @@ def fde_body(server_version: str = "8.0.27-binlog-spark") -> bytes:
     # the FDE's own post-header length: 2+50+4+1 + len(table)
     table[C.FORMAT_DESCRIPTION_EVENT - 1] = 57 + len(table)
     sv = server_version.encode()[:50].ljust(50, b"\x00")
-    return int2(4) + sv + int4(0) + int1(C.HEADER_SIZE) + bytes(table) + int1(C.CHECKSUM_CRC32)
+    alg = C.CHECKSUM_CRC32 if checksum else 0
+    return int2(4) + sv + int4(0) + int1(C.HEADER_SIZE) + bytes(table) + int1(alg)
 
 
 def gtid_body(sid: bytes, gno: int, flags: int = 1) -> bytes:

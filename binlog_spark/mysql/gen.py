@@ -65,6 +65,9 @@ class GenConfig:
     content_min: int = 10
     content_max: int = 4096
     base_ts: int = 1_700_000_000
+    #: binlog_checksum: False emits a CRC-less dump (alg byte 0, no
+    #: event trailers) — exercises the FDE-less chunk checksum probe
+    checksum: bool = True
     #: change index at which the table gains a `branch` column (ALTER TABLE
     #: mid-stream -> subsequent TABLE_MAPs carry 6 columns; the engine's
     #: schema-evolution trigger, SURVEY §1.2).  None = no evolution.
@@ -258,13 +261,16 @@ class BinlogWriter:
         ptr = os.path.join(self.dir, ".next" if prev is None else prev + ".next")
         with open(ptr, "w") as f:
             f.write(name)
-        self._emit(C.FORMAT_DESCRIPTION_EVENT, E.fde_body())
+        self._emit(C.FORMAT_DESCRIPTION_EVENT,
+                   E.fde_body(checksum=self.cfg.checksum))
 
     def _emit(self, event_type: int, body: bytes, flags: int = 0) -> None:
-        size = C.HEADER_SIZE + len(body) + C.CHECKSUM_LEN
+        cklen = C.CHECKSUM_LEN if self.cfg.checksum else 0
+        size = C.HEADER_SIZE + len(body) + cklen
         ev = E.frame_event(event_type, body, timestamp=self.ts,
                            server_id=self.cfg.server_id,
-                           next_pos=self.pos + size, flags=flags)
+                           next_pos=self.pos + size, flags=flags,
+                           with_checksum=self.cfg.checksum)
         self.fh.write(ev)
         self.pos += size
 

@@ -93,6 +93,57 @@ def doc_minhash_dups(spark: SparkSession, sf_dir: str,
     return pairs
 
 
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str,
+                       threshold: float = 0.5) -> DataFrame:
+    """Cluster assignment over the near-dup pair graph: every document
+    gets a cluster id = the MIN doc_id of its connected component (the
+    canonical survivor a dedup pipeline keeps), plus the cluster size.
+
+    Distributed connected components by iterative min-label propagation
+    (the GraphX/GraphFrames CC shape): each round every node takes the
+    min label among itself and its neighbors; converges in ≤ diameter
+    rounds — near-dup components are almost-cliques from shared LSH
+    buckets, so a handful of rounds suffice; the loop stops on a
+    converged round (count of changed labels = 0, one small action per
+    round) and is capped defensively.  Oracle: sequential union-find
+    over the same golden pairs (ops/goldens.py)."""
+    d = _docs(spark, sf_dir)
+    pairs = doc_minhash_dups(spark, sf_dir, threshold=threshold) \
+        .select("doc_a", "doc_b")
+    # the pair pipeline (shingle → minhash → band join) must run ONCE,
+    # not once per propagation round; labels persist per round so each
+    # iteration's plan reads the previous cached frontier, keeping
+    # lineage depth constant (the GraphX-style CC discipline)
+    edges = (pairs.union(pairs.select(F.col("doc_b").alias("doc_a"),
+                                      F.col("doc_a").alias("doc_b")))
+             .persist())
+    labels = d.select("doc_id", F.col("doc_id").alias("label")).persist()
+    for _ in range(20):
+        nbr = (edges.join(labels,
+                          edges.doc_a == labels.doc_id, "inner")
+               .groupBy(F.col("doc_b").alias("doc_id"))
+               .agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(nbr, "doc_id", "left")
+                      .select("doc_id",
+                              F.least("label",
+                                      F.coalesce("nbr_label", "label"))
+                              .alias("label"))
+                      .persist())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (labels.join(sizes, "label")
+            .select("doc_id", F.col("label").alias("cluster_id"),
+                    "cluster_size")
+            .orderBy("doc_id"))
+
+
 def doc_ngram_jaccard(spark: SparkSession, sf_dir: str,
                       threshold: float = 0.5) -> DataFrame:
     """Exact n-gram Jaccard for LSH candidates: |A∩B| via a shingle-level

@@ -221,6 +221,39 @@ def golden_doc_ngram_jaccard(sf_dir: str) -> str:
                    "jaccard": pa.float64()})
 
 
+def golden_doc_dedup_clusters(sf_dir: str) -> str:
+    """ops.dedup.doc_dedup_clusters: sequential union-find over the same
+    minhash near-dup pairs; cluster id = min doc_id of the component."""
+    out = _golden_path("doc_dedup_clusters", sf_dir)
+    if os.path.exists(out):
+        return out
+    import pyarrow as pa
+    pairs = _minhash_pairs(_minhash_signatures(sf_dir), 0.5)
+    doc_ids = sorted(d for d, _ in _docs(sf_dir))
+    parent = {d: d for d in doc_ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    cluster = {d: find(d) for d in doc_ids}
+    sizes: dict[int, int] = {}
+    for c in cluster.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    return _write(out, {"doc_id": doc_ids,
+                        "cluster_id": [cluster[d] for d in doc_ids],
+                        "cluster_size": [sizes[cluster[d]]
+                                         for d in doc_ids]},
+                  {"doc_id": pa.int64(), "cluster_id": pa.int64(),
+                   "cluster_size": pa.int64()})
+
+
 # --- similarity ops ---------------------------------------------------------
 
 N_PLANES = 6

@@ -188,3 +188,35 @@ def test_binlog_version_inference(fixture_dir):
     for bad in (v3, v1):
         with pytest.raises(BinlogError):
             list(iter_frames(bad, has_magic=True))
+
+
+def test_checksum_off_dump_decodes(tmp_path):
+    """binlog_checksum=NONE: the FDE declares alg 0 for file heads, and
+    FDE-less mid-file chunks detect the missing trailers via the CRC
+    probe — previously DEFAULT_FDE assumed CRC32 and chopped 4 body
+    bytes off every event."""
+    d = str(tmp_path / "nocrc")
+    gen.generate(d, gen.GenConfig(n_changes=2000, checksum=False,
+                                  max_file_bytes=1 << 20),
+                 chunk_target=64 * 1024)
+    golden = load_golden(d)
+    state = oracle.final_state(d)
+    assert set(state) == set(golden)
+    for k, row in state.items():
+        assert row["commit"] == golden[k]["commit"]
+        assert row["content"] == golden[k]["content"]
+    # chunk decode (no FDE, probe-inferred checksum) == whole-file decode
+    manifest = json.load(open(os.path.join(d, "manifest.json")))
+    name = manifest["files"][0]
+    data = open(os.path.join(d, name), "rb").read()
+    whole = decode_chunk(data, name, has_magic=True)
+    chunked = []
+    for (fn, off, ln) in manifest["chunks"]:
+        if fn != name:
+            continue
+        chunked.extend(decode_chunk(data[off:off + ln], name))
+    assert len(whole) == len(chunked) > 0
+    for a, b in zip(whole, chunked):
+        assert (a.op, a.before, a.after, a.log_pos) == \
+               (b.op, b.before, b.after, b.log_pos)
+        assert a.crc_ok and b.crc_ok
