@@ -2,6 +2,7 @@
 (/root/reference/cmd/binlog/main.go:44-124).
 
     python -m binlog_spark view DIR [--limit N]
+    python -m binlog_spark statements DIR [--limit N] # statement events
     python -m binlog_spark stage DIR OUT              # dump sink (A31)
     python -m binlog_spark replay DIR LAKE [...]      # batch replay
     python -m binlog_spark replay-multi DIR LAKEROOT  # 1 stream -> N tables
@@ -44,6 +45,28 @@ def cmd_view(args) -> None:
             break
 
 
+def cmd_statements(args) -> None:
+    """Decode the statement-event side channel (QUERY/BEGIN/DDL,
+    ROWS_QUERY, INTVAR, RAND, USER_VAR, INCIDENT) to JSON lines
+    (reference parity: /root/reference/events.go:211-338)."""
+    import os
+    from .decoder.statements import decode_span_statements
+    from .mysql import oracle
+    if not os.path.isdir(args.dir):
+        sys.exit(f"binlog_spark statements: no such directory: {args.dir}")
+    n = 0
+    for name in oracle.list_files(args.dir):
+        with open(os.path.join(args.dir, name), "rb") as f:
+            data = f.read()
+        cols = decode_span_statements(data, name, has_magic=True)
+        for i in range(len(cols["stmt_type"])):
+            print(json.dumps({k: cols[k][i] for k in cols
+                              if cols[k][i] is not None}))
+            n += 1
+            if args.limit and n >= args.limit:
+                return
+
+
 def _spark(args):
     from .session import get_spark_shipped
     return get_spark_shipped("binlog-spark-cli", cores=args.cores)
@@ -61,7 +84,8 @@ def cmd_replay(args) -> None:
     res = replay_throughput(spark, args.dir, args.lake,
                             chunks_per_batch=args.batch_chunks,
                             n_buckets=args.buckets,
-                            salt_buckets=args.salt)
+                            salt_buckets=args.salt,
+                            minimal_images=args.minimal)
     print(json.dumps(res))
 
 
@@ -135,6 +159,12 @@ def main(argv: list[str] | None = None) -> None:
     v.add_argument("--limit", type=int, default=0)
     v.set_defaults(fn=cmd_view)
 
+    se = sub.add_parser("statements",
+                        help="decode statement events to JSON lines")
+    se.add_argument("dir")
+    se.add_argument("--limit", type=int, default=0)
+    se.set_defaults(fn=cmd_statements)
+
     s = sub.add_parser("stage", help="stage dump dir -> parquet chunk table")
     s.add_argument("dir")
     s.add_argument("out")
@@ -146,6 +176,9 @@ def main(argv: list[str] | None = None) -> None:
     r.add_argument("--batch-chunks", type=int, default=None)
     r.add_argument("--buckets", type=int, default=32)
     r.add_argument("--salt", type=int, default=0)
+    r.add_argument("--minimal", action="store_true",
+                   help="dump was written with binlog_row_image=MINIMAL"
+                        " (partial images patch per column)")
     r.set_defaults(fn=cmd_replay)
 
     rm = sub.add_parser("replay-multi",

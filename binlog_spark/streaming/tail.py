@@ -37,7 +37,11 @@ def stream_blobs(spark: SparkSession, dump_dir: str,
            .schema(_BINARY_FILE_SCHEMA)
            .option("pathGlobFilter", "binlog.*")
            .option("maxFilesPerTrigger", str(max_files_per_trigger))
-           .load(dump_dir))
+           .load(dump_dir)
+           # the glob also matches the `.next` chain-pointer files; they
+           # are not binlog bytes (and the span bounds check rightly
+           # rejects their names)
+           .filter(~F.col("path").endswith(".next")))
     return raw.select(
         F.element_at(F.split("path", "/"), -1).alias("log_file"),
         F.lit(0).cast("long").alias("chunk_off"),

@@ -112,9 +112,8 @@ def test_typed_lake_columns_roundtrip(spark, tmp_path):
         assert g.updated == dt.datetime(1970, 1, 1) + dt.timedelta(
             seconds=updated[0], microseconds=updated[1])
         assert g.day == day
-        if dur < 0 and dur % 1_000_000 == 0 and (-dur // 1_000_000) % 60 < 59:
-            assert g.dur == dur - 1_000_000  # the reference's "+1s" quirk
-        else:
-            assert g.dur == dur
+        # negative-TIME decode is identity for two's-complement-encoded
+        # values (the "+1s" quirk compensates the frac-borrow exactly)
+        assert g.dur == dur
         assert g.yr == yr
         assert g.bits == bits
