@@ -186,9 +186,9 @@ def main() -> None:
                   f"{ratio:.2f}×; **scaling efficiency = {eff:.2f}** "
                   f"(target ≥ 0.8, BASELINE.json:14)"]
         print(f"\nefficiency {a['cores']}→{b['cores']}: {eff:.3f}")
-    with open(os.path.join(REPO, "BENCH_RUNS.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH_SCALING_LAST.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
-    print("wrote BENCH_RUNS.md (curated results live in BENCH.md)")
+    print("wrote BENCH_SCALING_LAST.md (curated results live in BENCH.md)")
 
 
 if __name__ == "__main__":
