@@ -25,7 +25,7 @@ from decimal import ROUND_HALF_UP, Decimal
 
 from ..functions.spark_hash import xxhash64
 
-GOLDEN_VERSION = "v2"
+GOLDEN_VERSION = "v3"
 
 #: Java \s (no Unicode classes) — what Spark's split/trim see
 _WS = re.compile(r"[ \t\n\x0b\f\r]+")
@@ -309,9 +309,38 @@ def _write_topk(out: str, rows) -> str:
                    "vec_id": pa.int64(), "cos": pa.float64()})
 
 
+N_PROBE_FLIPS = 2
+
+
+def _query_probes(emb: list[float],
+                  planes: list[list[float]]) -> list[set[int]]:
+    """Per-table probed bucket sets: exact bucket + single-bit flips of
+    the N_PROBE_FLIPS lowest-|projection| planes (mirror of
+    ops.similarity._lsh_query_probes)."""
+    out = []
+    for t in range(N_TABLES):
+        projs = []
+        for p in range(N_PLANES):
+            w = planes[t * N_PLANES + p]
+            acc = 0.0
+            for x, y in zip(emb, w):
+                acc += x * y
+            projs.append(acc)
+        bucket = 0
+        for p in range(N_PLANES):
+            if projs[p] > 0:
+                bucket += 1 << p
+        margins = sorted((abs(projs[p]), p) for p in range(N_PLANES))
+        probes = {bucket}
+        for _, p in margins[:N_PROBE_FLIPS]:
+            probes.add(bucket ^ (1 << p))
+        out.append(probes)
+    return out
+
+
 def golden_ann_lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 3) -> str:
-    """ops.similarity.ann_lsh_topk: multi-table LSH candidates, exact
-    cosine, top-k."""
+    """ops.similarity.ann_lsh_topk: multi-table MULTI-PROBE LSH
+    candidates, exact cosine, top-k."""
     out = _golden_path("ann_lsh_topk", sf_dir)
     if os.path.exists(out):
         return out
@@ -323,10 +352,10 @@ def golden_ann_lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 3) -> str:
     by_q: dict[int, list[tuple[int, float]]] = {}
     queries = [(i, e) for i, e in embs if i < n_queries]
     for q_id, q_emb in queries:
-        qb = buckets[q_id]
+        probes = _query_probes(q_emb, planes)
         nq = _norm(q_emb)
         cands = [i for i, _ in embs
-                 if i != q_id and any(buckets[i][t] == qb[t]
+                 if i != q_id and any(buckets[i][t] in probes[t]
                                       for t in range(N_TABLES))]
         by_q[q_id] = [(i, _dot(emap[i], q_emb) / (_norm(emap[i]) * nq))
                       for i in cands]

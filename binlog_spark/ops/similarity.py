@@ -98,22 +98,72 @@ def _lsh_tables(emb: DataFrame, dim: int) -> DataFrame:
                     F.col("e.bucket").alias("bucket")))
 
 
+N_PROBE_FLIPS = 2  # extra buckets per table: flip the k lowest-margin bits
+
+
+def _lsh_query_probes(emb: DataFrame, dim: int,
+                      n_flips: int = N_PROBE_FLIPS) -> DataFrame:
+    """(q_id, q_emb, table, bucket) — MULTI-PROBE query-side buckets: per
+    table, the exact bucket plus ``n_flips`` single-bit flips of the
+    hyperplanes with the smallest |projection| (the bits most likely to
+    disagree for a true neighbor).  Probing is query-side only, so the
+    corpus index stays one row per (vector, table) — recall rises without
+    growing the index, the standard multi-probe trade."""
+    per_table = []
+    for t in range(N_TABLES):
+        projs = F.array(*[
+            F.aggregate(
+                F.zip_with(F.col("embedding"),
+                           _plane_weights_expr(t * N_PLANES + p, dim),
+                           lambda x, y: x * y),
+                F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+            for p in range(N_PLANES)])
+        per_table.append(F.struct(F.lit(t).alias("table"),
+                                  projs.alias("projs")))
+    exploded = (emb.select("vec_id", "embedding",
+                           F.explode(F.array(*per_table)).alias("e"))
+                .select("vec_id", "embedding",
+                        F.col("e.table").alias("table"),
+                        F.col("e.projs").alias("projs")))
+    bucket = F.aggregate(
+        F.sequence(F.lit(0), F.lit(N_PLANES - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + F.when(
+            F.element_at(F.col("projs"), p + 1) > 0,
+            F.pow(F.lit(2.0), p).cast("long")).otherwise(0))
+    # lowest-|proj| plane indices: sort (|proj|, idx) structs, take k
+    margins = F.array_sort(F.transform(
+        F.sequence(F.lit(0), F.lit(N_PLANES - 1)),
+        lambda p: F.struct(
+            F.abs(F.element_at(F.col("projs"), p + 1)).alias("m"),
+            p.alias("idx"))))
+    flips = F.transform(F.slice(margins, 1, n_flips),
+                        lambda s: s["idx"])
+    probes = F.concat(
+        F.array(bucket),
+        F.transform(flips, lambda i: bucket.bitwiseXOR(
+            F.pow(F.lit(2.0), i).cast("long"))))
+    return (exploded
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_emb"), "table",
+                    F.explode(probes).alias("bucket")))
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str,
                  n_queries: int = 5, k: int = 3) -> DataFrame:
-    """Approximate top-k via multi-table random-hyperplane LSH: a
-    candidate qualifies if it shares ANY table's bucket with the query
-    (recall compounds across tables: 1-(1-p^bits)^tables).  Rows-only
-    oracle (hash-dependent); recall vs. brute force asserted in tests."""
+    """Approximate top-k via multi-table multi-probe random-hyperplane
+    LSH: a candidate qualifies if it shares ANY probed bucket of ANY
+    table with the query (recall compounds across tables AND probes;
+    the corpus index stays one entry per vector per table).  Oracle:
+    bit-exact sequential replay (ops/goldens.py); recall vs. brute force
+    asserted in tests."""
     emb = _emb(spark, sf_dir)
     dim = len(emb.select("embedding").first()[0])
     tabs = _lsh_tables(emb, dim)
-    q = (tabs.filter(F.col("vec_id") < n_queries)
-         .select(F.col("vec_id").alias("q_id"),
-                 F.col("embedding").alias("q_emb"),
-                 "table", F.col("bucket").alias("q_bucket")))
+    q = _lsh_query_probes(emb.filter(F.col("vec_id") < n_queries), dim)
     cand = (tabs.join(F.broadcast(q),
                       (tabs.table == q.table)
-                      & (F.col("bucket") == F.col("q_bucket"))
+                      & (tabs.bucket == q.bucket)
                       & (F.col("vec_id") != F.col("q_id")))
             .select("q_id", "vec_id", "embedding", "q_emb")
             .dropDuplicates(["q_id", "vec_id"]))

@@ -124,3 +124,16 @@ def test_lsh_tables_are_independent(spark):
     rows = pivot.collect()
     identical = sum(1 for r in rows if r["0"] == r["1"] == r["2"] == r["3"])
     assert identical < len(rows) / 2, "LSH tables look identical"
+
+
+def test_lsh_multiprobe_recall(spark):
+    """Multi-probe LSH (exact bucket + 2 low-margin bit flips per table)
+    recovers a solid fraction of the exact top-3.  Deterministic: the
+    hash, the probes and the data are all fixed."""
+    from binlog_spark.ops.similarity import ann_bruteforce_topk, ann_lsh_topk
+    brute = {(r.q_id, r.vec_id)
+             for r in ann_bruteforce_topk(spark, SF, n_queries=5, k=3).collect()}
+    lsh = {(r.q_id, r.vec_id)
+           for r in ann_lsh_topk(spark, SF, n_queries=5, k=3).collect()}
+    recall = len(brute & lsh) / len(brute)
+    assert recall >= 0.5, f"multi-probe LSH recall too low: {recall}"
