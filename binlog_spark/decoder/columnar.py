@@ -350,6 +350,69 @@ def _emit_cell(i: int, col, mode: str, env: dict) -> list[str]:
                 f"v{i} = {q0}('-' if neg else '') + {fmt}{q1}")
         # multi-group decimals fall through to the helper
 
+    if t in (C.TYPE_DATETIME2, C.TYPE_TIMESTAMP2):
+        n = (col.meta + 1) // 2
+        mul = 100 ** (3 - n) if n else 0
+        env.setdefault("_gm", __import__("time").gmtime)
+        if t == C.TYPE_DATETIME2:
+            head = [
+                "u = int.from_bytes(b[pos:pos+5], 'big'); pos += 5",
+                "ym = (u >> 22) & 131071",
+                f"v{i} = '%04d-%02d-%02dT%02d:%02d:%02d' % "
+                "(ym // 13, ym % 13, (u >> 17) & 31, (u >> 12) & 31, "
+                "(u >> 6) & 63, u & 63)",
+            ]
+        else:
+            head = [
+                "u = int.from_bytes(b[pos:pos+4], 'big'); pos += 4",
+                "tmv = _gm(u)",
+                f"v{i} = '%04d-%02d-%02dT%02d:%02d:%02d' % tmv[:6]",
+            ]
+        tail = []
+        if n:
+            tail.append(f"fr = int.from_bytes(b[pos:pos+{n}], 'big') "
+                        f"* {mul}; pos += {n}")
+            tail.append(f"if fr: v{i} += '.%06d' % fr")
+        if as_json:
+            tail.append(f"v{i} = '\"' + v{i} + '\"'")
+        return body(*head, *tail)
+
+    if t == C.TYPE_TIME2:
+        n = (col.meta + 1) // 2
+        mul = 100 ** (3 - n) if n else 0
+        lines2 = [
+            "u = int.from_bytes(b[pos:pos+3], 'big'); pos += 3",
+            "hh = (u >> 12) & 1023; mm2 = (u >> 6) & 63; ss = u & 63",
+            "if u >> 23 & 1:",
+        ]
+        if n:
+            lines2 += [
+                f"    fr = int.from_bytes(b[pos:pos+{n}], 'big') * {mul}"
+                f"; pos += {n}",
+            ]
+        else:
+            lines2 += ["    fr = 0"]
+        lines2 += [
+            f"    v{i} = str((hh * 3600 + mm2 * 60 + ss) * 1000000 + fr)",
+            "else:",
+            "    hh = ~hh & 1023; mm2 = ~mm2 & 63; ss = ~ss & 63",
+        ]
+        if n:
+            lines2 += [
+                f"    fr = int.from_bytes(b[pos:pos+{n}], 'big'); pos += {n}",
+                "    if fr:",
+                f"        fr = ((~fr) & {(1 << (n * 8)) - 1}) + 1",
+                f"    fr *= {mul}",
+            ]
+        else:
+            lines2 += ["    fr = 0"]
+        lines2 += [
+            # reference's "+1s" quirk (/root/reference/types.go:279-281)
+            "    if fr == 0 and ss < 59: ss += 1",
+            f"    v{i} = str(-((hh * 3600 + mm2 * 60 + ss) * 1000000 + fr))",
+        ]
+        return body(*lines2)
+
     # complex types: one helper-closure call per cell
     rd = compile_column(col, mode)
     if rd is None:
