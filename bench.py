@@ -70,9 +70,12 @@ def main() -> None:
         n_changes / timings["binlog_apply_e2e"], 1)
     shutil.rmtree(lake_root, ignore_errors=True)
 
+    from binlog_spark.cdc.pipeline import scan_extra_columns
+    spans = [tuple(r) for r in chunks_df(spark, dump).collect()]
     run("binlog_reduce",
         lambda: final_state(reduce_changes(
-            decode_changes(chunks_df(spark, dump)))).count())
+            decode_changes(chunks_df(spark, dump))),
+            extra_names=scan_extra_columns(spans)).count())
 
     # --- multi-table typed replay (compiled generic decoder) ---
     from binlog_spark.cdc.multi import replay_generic

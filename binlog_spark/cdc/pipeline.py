@@ -446,10 +446,16 @@ def scan_extra_columns_blobs(blobs: DataFrame) -> list[str]:
     return sorted(set(_json.loads(best.extras_json)))
 
 
-def final_state(upserts: DataFrame) -> DataFrame:
+def final_state(upserts: DataFrame,
+                extra_names: list[str] | None = None) -> DataFrame:
     """Terminal state of an empty-start replay: drop tombstones, promote
-    schema-evolution extras."""
-    flat, extras = flatten_extras(upserts)
+    schema-evolution extras.
+
+    Pass ``extra_names`` (from the driver-side TABLE_MAP scan,
+    scan_extra_columns) whenever the chunk spans are at hand — the
+    name-less fallback probe EXECUTES the upsert pipeline once just to
+    discover column names."""
+    flat, extras = flatten_extras(upserts, names=extra_names)
     return (flat.filter(F.col("op") != "D")
             .select(*KEY_COLS, *DATA_COLS, *extras))
 

@@ -37,14 +37,18 @@ def binlog_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → dedup → commit-order reduce; returns the replayed final
     state with the per-row sha256(content) invariant column
     (BASELINE.json:15)."""
-    from ..cdc.pipeline import final_state, reduce_changes
+    from ..cdc.pipeline import final_state, reduce_changes, \
+        scan_extra_columns
     from ..decoder.chunks import chunks_df
     from ..decoder.kernel import decode_changes
     from ..session import ship_package
     ship_package(spark)
     dump = ensure_fixture(sf_dir)
-    events = decode_changes(chunks_df(spark, dump))
-    state = final_state(reduce_changes(events))
+    cdf = chunks_df(spark, dump)
+    spans = [tuple(r) for r in cdf.collect()]
+    events = decode_changes(cdf)
+    state = final_state(reduce_changes(events),
+                        extra_names=scan_extra_columns(spans))
     return (state.select("repo", "path", "commit", "lang",
                          F.sha2(F.coalesce("content", F.lit("")), 256)
                          .alias("content_sha256"))

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..cdc.pipeline import (flatten_extras, reduce_changes,
+                            reduce_changes_minimal,
                             scan_extra_columns_blobs)
 from ..decoder.kernel import CHANGE_SCHEMA, decode_changes, decode_keys
 from ..lake.table import LakeTable
@@ -60,13 +61,16 @@ def stream_apply(spark: SparkSession, dump_dir: str, table_root: str,
                  n_buckets: int = 32, salt_buckets: int = 0,
                  available_now: bool = True,
                  processing_interval: str = "5 seconds",
+                 minimal_images: bool = False,
                  on_batch: Callable[[int, dict], None] | None = None):
     """Tail a staging dir into a lake table via foreachBatch MERGE.
 
     ``available_now=True`` drains everything currently visible and stops
     (replay); ``False`` keeps tailing with a processing-time trigger (the
     reference's blocking serverID!=0 mode, /root/reference/doc.go:23).
-    Returns the StreamingQuery.
+    ``minimal_images``: the source logs binlog_row_image=MINIMAL —
+    partial images patch per column (reduce_changes_minimal + the
+    patch-aware MERGE).  Returns the StreamingQuery.
     """
     table = LakeTable(table_root, n_buckets=n_buckets)
     table.create()
@@ -77,14 +81,18 @@ def stream_apply(spark: SparkSession, dump_dir: str, table_root: str,
         # winner search can use the cheap key-only pass (same late-
         # materialization as batch replay)
         events = decode_changes(batch_df)
-        keys = decode_keys(batch_df)
-        upserts = reduce_changes(events, salt_buckets=salt_buckets,
-                                 key_events=keys)
         # schema discovery via a cheap distributed TABLE_MAP scan of the
         # batch's blobs — a name-less flatten_extras would EXECUTE the
         # upsert pipeline once per micro-batch for a distinct-key probe
         extra_names = scan_extra_columns_blobs(batch_df)
-        upserts, _ = flatten_extras(upserts, names=extra_names)
+        if minimal_images:
+            upserts = reduce_changes_minimal(events,
+                                             extra_names=extra_names)
+        else:
+            keys = decode_keys(batch_df)
+            upserts = reduce_changes(events, salt_buckets=salt_buckets,
+                                     key_events=keys)
+            upserts, _ = flatten_extras(upserts, names=extra_names)
         snap = table.merge(spark, upserts,
                            batch_id=f"stream-{checkpoint_dir}-{batch_id}")
         if on_batch is not None:

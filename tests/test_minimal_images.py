@@ -72,3 +72,19 @@ def test_minimal_with_schema_evolution(spark, tmp_path):
     got = table.read(spark)
     assert "branch" in got.columns
     assert state_fingerprint(got) == want
+
+
+def test_minimal_streaming_drain(spark, minimal_dump, tmp_path):
+    """MINIMAL images through the Structured Streaming tail: per-batch
+    column patches + the patch-aware MERGE must still reproduce the
+    sequential oracle digest."""
+    from binlog_spark.streaming.tail import stream_apply
+    root = str(tmp_path / "minslake")
+    ckpt = str(tmp_path / "minsckpt")
+    q = stream_apply(spark, minimal_dump, root, ckpt, n_buckets=8,
+                     available_now=True, minimal_images=True)
+    q.awaitTermination(300)
+    from binlog_spark.lake.table import LakeTable
+    table = LakeTable(root, n_buckets=8)
+    want = oracle.state_digest(oracle.final_state(minimal_dump))
+    assert state_fingerprint(table.read(spark)) == want
