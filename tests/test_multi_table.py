@@ -117,3 +117,20 @@ def test_typed_lake_columns_roundtrip(spark, tmp_path):
         assert g.dur == dur
         assert g.yr == yr
         assert g.bits == bits
+
+
+def test_typed_table_compact_preserves_types_and_state(spark, dump,
+                                                       oracle_state,
+                                                       tmp_path):
+    """Compaction must keep the typed schema (snapshot schema_types) and
+    the exact state on a multi-table lake."""
+    lake = str(tmp_path / "lake3")
+    tables = replay_generic(spark, dump, lake, chunks_per_batch=8)
+    t = tables[("inventory", "order_lines")]
+    before = _lake_state(spark, t)
+    dtypes_before = dict(t.read(spark).dtypes)
+    t.compact(spark)
+    after = _lake_state(spark, t)
+    assert after == before == oracle_state[("inventory", "order_lines")]
+    assert dict(t.read(spark).dtypes) == dtypes_before
+    assert dtypes_before["qty"] == "int"
