@@ -49,3 +49,15 @@ def test_skewed_parity_default_and_salted(spark, hot_dump):
     got_salted = state_fingerprint(final_state(
         reduce_changes(ev, key_events=keys, salt_buckets=16)))
     assert got_salted == want
+
+
+def test_shuffle_winner_join_parity(spark, hot_dump):
+    """broadcast_winners=False (the driver-memory escape hatch for
+    batches with huge key counts) must produce the same state through a
+    shuffle join instead of a broadcast."""
+    want = oracle.state_digest(oracle.final_state(hot_dump))
+    cdf = chunks_df(spark, hot_dump)
+    got = state_fingerprint(final_state(
+        reduce_changes(decode_changes(cdf), key_events=decode_keys(cdf),
+                       broadcast_winners=False)))
+    assert got == want
