@@ -41,7 +41,9 @@ from ..cdc.pipeline import DATA_COLS, KEY_COLS
 
 
 class CommitConflict(Exception):
-    pass
+    """Another writer committed a snapshot between this operation's read
+    of CURRENT and its commit attempt (optimistic concurrency, the
+    Iceberg commit model): the operation must re-read and retry."""
 
 
 class LakeTable:
@@ -142,7 +144,20 @@ class LakeTable:
         return dict((snap or {}).get("schema_types") or {})
 
     def _commit_snapshot(self, snap: dict) -> None:
+        """Atomic snapshot commit with an optimistic-concurrency check:
+        the new snapshot must descend from the CURRENT one (parent ==
+        current id).  A concurrent writer that advanced CURRENT since
+        this operation read it raises CommitConflict — the caller
+        re-reads and retries (the Iceberg commit model; single-writer
+        replay never hits this)."""
         sid = snap["snapshot_id"]
+        cur = self.current_snapshot_id()
+        expected_parent = snap.get("parent")
+        if cur is not None and expected_parent != cur:
+            raise CommitConflict(
+                f"snapshot v{sid} built on parent "
+                f"{expected_parent}, but CURRENT is v{cur} — concurrent "
+                "writer detected; re-read and retry")
         tmp = os.path.join(self.snap_dir, f".v{sid}.json.tmp")
         dst = os.path.join(self.snap_dir, f"v{sid}.json")
         with open(tmp, "w") as f:

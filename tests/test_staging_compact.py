@@ -98,3 +98,21 @@ def test_retention_tombstone_ratio(spark, dump_dir, tmp_path):
         assert snap is not None
         assert table.tombstone_stats()["tombstones"] == 0
     assert state_fingerprint(table.read(spark)) == before
+
+
+def test_concurrent_commit_conflict_detected(tmp_path):
+    """Optimistic concurrency (the Iceberg commit model): a snapshot
+    built on a stale parent must be rejected, not silently clobber the
+    other writer's commit."""
+    from binlog_spark.lake.table import CommitConflict, LakeTable
+    t = LakeTable(str(tmp_path / "cc"), n_buckets=4,
+                  key_cols=("repo", "path"))
+    t.create()
+    base = t.snapshot()
+    winner = {**base, "snapshot_id": 1, "parent": 0, "batch_id": "w"}
+    t._commit_snapshot(winner)
+    stale = {**base, "snapshot_id": 1, "parent": 0, "batch_id": "loser"}
+    import pytest as _pytest
+    with _pytest.raises(CommitConflict):
+        t._commit_snapshot(stale)
+    assert t.snapshot()["batch_id"] == "w"
