@@ -268,9 +268,13 @@ def replay_generic(spark: SparkSession, dump_dir: str, lake_root: str, *,
         (events.filter(F.col("crc_ok"))
          .write.partitionBy("table_schema", "table_name")
          .mode("overwrite").parquet(staging))
-        for (sch, tbl), t in sorted(tables.items()):
+        last_file = max(s[1] for s in spans)
+        last_end = max(s[2] + s[3] for s in spans if s[1] == last_file)
+
+        def apply_table(item) -> None:
+            (sch, tbl), t = item
             if bid in t.committed_batch_ids():
-                continue
+                return
             info = registry[(sch, tbl)]
             part = os.path.join(staging, f"table_schema={sch}",
                                 f"table_name={tbl}")
@@ -281,14 +285,27 @@ def replay_generic(spark: SparkSession, dump_dir: str, lake_root: str, *,
                     *[f"cast(null as {types.get(c, 'string')}) as `{c}`"
                       for c in t.key_cols]).filter("false"),
                     batch_id=bid)
-                continue
+                return
             pk = list(t.key_cols)
             up = table_upserts(spark.read.parquet(part),
                                info["columns"], pk, info["types"],
                                broadcast_winners=broadcast_winners)
-            last_file = max(s[1] for s in spans)
-            last_end = max(s[2] + s[3] for s in spans if s[1] == last_file)
             t.merge(spark, up, batch_id=bid,
-                    offsets={"log_file": last_file, "next_pos": int(last_end)})
+                    offsets={"log_file": last_file,
+                             "next_pos": int(last_end)})
+
+        # per-table applies are independent (own lake roots, own
+        # snapshot logs) — run them as CONCURRENT Spark jobs so a
+        # many-table stream isn't wall-clocked by a serial merge loop;
+        # each table's own merges stay ordered (one worker per table
+        # per batch, batches sequential)
+        from concurrent.futures import ThreadPoolExecutor
+        n_workers = min(8, max(1, len(tables)))
+        if n_workers > 1:
+            with ThreadPoolExecutor(max_workers=n_workers) as pool:
+                list(pool.map(apply_table, sorted(tables.items())))
+        else:
+            for item in sorted(tables.items()):
+                apply_table(item)
         shutil.rmtree(staging, ignore_errors=True)
     return tables
