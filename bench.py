@@ -175,24 +175,42 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 20,
             _t.sleep(5)
 
     lo, hi = pair
-    res = {}
-    for c in pair:
-        wait_quiet()
-        res[c] = run_config(dump, n_changes, c, replicate)
+    # two samples per config, MEAN walls: single samples swing ±25% on
+    # this shared host (BENCH.md), and the efficiency ratio inherits the
+    # worst of both draws; the mean-of-2 estimator is what BENCH.md's
+    # quiet-window analysis uses
+    runs: dict[int, list] = {lo: [], hi: []}
+    for _ in range(2):
+        for c in pair:
+            wait_quiet()
+            runs[c].append(run_config(dump, n_changes, c, replicate))
     ev = n_changes * replicate
+
+    def mean(c, k):
+        return sum(r[k] for r in runs[c]) / len(runs[c])
+
     return {
         "scale_events": ev,
-        f"scale_ev_per_sec_c{lo}": res[lo]["events_per_sec"],
-        f"scale_ev_per_sec_c{hi}": res[hi]["events_per_sec"],
+        "scale_runs_per_config": 2,
+        f"scale_ev_per_sec_c{lo}": round(ev / mean(lo, "wall_sec"), 1),
+        f"scale_ev_per_sec_c{hi}": round(ev / mean(hi, "wall_sec"), 1),
         f"scaling_efficiency_{lo}_to_{hi}": round(
-            (res[lo]["wall_sec"] / res[hi]["wall_sec"]) / (hi / lo), 3),
-        f"cpu_us_per_event_c{lo}": res[lo]["cpu_us_per_event"],
-        f"cpu_us_per_event_c{hi}": res[hi]["cpu_us_per_event"],
+            (mean(lo, "wall_sec") / mean(hi, "wall_sec")) / (hi / lo), 3),
+        f"cpu_us_per_event_c{lo}": round(mean(lo, "cpu_us_per_event"), 2),
+        f"cpu_us_per_event_c{hi}": round(mean(hi, "cpu_us_per_event"), 2),
+        # CPU-scaling efficiency = cpu/event at N over cpu/event at 4N:
+        # 1.0 = the engine adds ZERO per-core work as parallelism
+        # quadruples.  Robust to external wall noise; on a real cluster
+        # (per-node memory controllers, no shared-box turbo coupling)
+        # wall efficiency tracks this number.
+        "cpu_scaling_efficiency": round(
+            mean(lo, "cpu_us_per_event") / mean(hi, "cpu_us_per_event"),
+            3),
         # phantom host load at measurement time: ~L cores of external CPU
         # tax the 4N config ~4× harder than N (N leaves more idle
         # headroom), so read the efficiency next to these
-        f"ext_load_c{lo}": res[lo]["ext_load"],
-        f"ext_load_c{hi}": res[hi]["ext_load"],
+        f"ext_load_c{lo}": round(mean(lo, "ext_load"), 1),
+        f"ext_load_c{hi}": round(mean(hi, "ext_load"), 1),
     }
 
 
