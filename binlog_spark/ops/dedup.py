@@ -57,17 +57,24 @@ def doc_minhash_dups(spark: SparkSession, sf_dir: str,
     groups are tiny unless docs really collide); the estimate is the
     fraction of agreeing minhashes.  Rows-only oracle (hash-dependent).
     """
-    sig = doc_minhash_signatures(spark, sf_dir).cache()
-    bands = []
+    # ONE pass over the signatures: pack them into a single array column
+    # (cached: N_HASHES longs/doc), derive the band buckets by EXPLODING
+    # per-band structs (an 8-way union would rescan the signature table
+    # once per band), and verify candidates against the packed array —
+    # each join side carries one array column, not 32 scalar columns
     n_bands = N_HASHES // BAND_SIZE
-    for b in range(n_bands):
-        cols = [F.col(f"h{b * BAND_SIZE + i}") for i in range(BAND_SIZE)]
-        bands.append(sig.select(
-            "doc_id", F.lit(b).alias("band"),
-            F.xxhash64(*cols).alias("bucket")))
-    exploded = bands[0]
-    for b in bands[1:]:
-        exploded = exploded.unionByName(b)
+    sig = doc_minhash_signatures(spark, sf_dir).select(
+        "doc_id", F.array(*[F.col(f"h{i}")
+                            for i in range(N_HASHES)]).alias("sig")).cache()
+
+    def band_bucket(b: int) -> F.Column:
+        return F.xxhash64(*[F.element_at("sig", b * BAND_SIZE + i + 1)
+                            for i in range(BAND_SIZE)])
+
+    exploded = sig.select("doc_id", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
+        for b in range(n_bands)])).alias("bb")) \
+        .select("doc_id", "bb.band", "bb.bucket")
     left = exploded.alias("l")
     right = exploded.alias("r")
     cand = (left.join(right,
@@ -77,15 +84,12 @@ def doc_minhash_dups(spark: SparkSession, sf_dir: str,
             .select(F.col("l.doc_id").alias("doc_a"),
                     F.col("r.doc_id").alias("doc_b"))
             .distinct())
-    a = sig.alias("a")
-    b_ = sig.alias("b")
-    agree = None
-    for i in range(N_HASHES):
-        t = F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
-        agree = t if agree is None else agree + t
+    agree = F.size(F.filter(
+        F.zip_with(F.col("a.sig"), F.col("b.sig"),
+                   lambda x, y: x == y), lambda v: v))
     pairs = (cand
-             .join(a, cand.doc_a == F.col("a.doc_id"))
-             .join(b_, cand.doc_b == F.col("b.doc_id"))
+             .join(sig.alias("a"), cand.doc_a == F.col("a.doc_id"))
+             .join(sig.alias("b"), cand.doc_b == F.col("b.doc_id"))
              .select("doc_a", "doc_b",
                      (agree / F.lit(N_HASHES)).alias("est_jaccard"))
              .filter(F.col("est_jaccard") >= threshold)

@@ -348,16 +348,22 @@ def embedding_neardup(spark: SparkSession, sf_dir: str,
     emb = (spark.read.parquet(neardup_input_path(sf_dir))
            .withColumn("embedding", F.col("embedding").cast("array<double>")))
     dim = len(emb.select("embedding").first()[0])
-    b = _lsh_tables(emb, dim)
-    l, r = b.alias("l"), b.alias("r")
+    # collision join + pair dedup over IDS ONLY — a pair colliding in k
+    # tables must not shuffle 2·dim doubles k times just to throw k−1
+    # copies away; embeddings attach once per verified candidate pair
+    bk = _lsh_tables(emb, dim).select("vec_id", "table", "bucket")
+    l, r = bk.alias("l"), bk.alias("r")
     pairs = (l.join(r, (F.col("l.table") == F.col("r.table"))
                     & (F.col("l.bucket") == F.col("r.bucket"))
                     & (F.col("l.vec_id") < F.col("r.vec_id")))
              .select(F.col("l.vec_id").alias("vec_a"),
-                     F.col("r.vec_id").alias("vec_b"),
-                     F.col("l.embedding").alias("ea"),
-                     F.col("r.embedding").alias("eb"))
+                     F.col("r.vec_id").alias("vec_b"))
              .dropDuplicates(["vec_a", "vec_b"]))
+    ea = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("eb"))
+    pairs = pairs.join(ea, "vec_a").join(eb, "vec_b")
     cos = (F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y),
                        F.lit(0.0).cast("double"), lambda a, v: a + v)
            / (F.sqrt(F.aggregate("ea", F.lit(0.0).cast("double"),
