@@ -38,6 +38,10 @@ from binlog_spark.lake.table import LakeTable
 cores = {cores}
 dump = {dump!r}
 replicate = {replicate}
+# external load is sampled BEFORE the JVM spins up — the 1-min loadavg
+# decays slowly, so sampling after our own warm-up would charge the
+# measurement with self-inflicted load
+load0 = os.getloadavg()[0]
 os.environ.setdefault("SPARK_DRIVER_MEM", "20g")
 spark = get_spark("scaling-%d" % cores, cores=cores,
                   shuffle_partitions=cores * 2)
@@ -89,7 +93,6 @@ def tree_cpu_sec():
 
 root = "/tmp/scaling_lake_%d_%d" % (cores, os.getpid())
 shutil.rmtree(root, ignore_errors=True)
-load0 = os.getloadavg()[0]
 cpu0 = tree_cpu_sec()
 t0 = time.time()
 events = decode_changes(cdf, partitions=cores * 3)
