@@ -174,8 +174,8 @@ def reduce_changes(events: DataFrame, *, salt_buckets: int = 0,
 
 
 def reduce_changes_minimal(events: DataFrame,
-                           extra_names: list[str] | None = None
-                           ) -> DataFrame:
+                           extra_names: list[str] | None = None,
+                           *, broadcast_winners: bool = True) -> DataFrame:
     """Reduction for streams with MINIMAL row images: partial after-images
     PATCH columns instead of replacing the row, so last-writer-wins runs
     PER COLUMN, not per row.
@@ -183,9 +183,9 @@ def reduce_changes_minimal(events: DataFrame,
     Per key: a *barrier* is any full-image event (I, full U) or a delete —
     column values from before the latest barrier are dead.  Each payload
     column's winner is the latest event at-or-after the barrier where the
-    column was present.  All HashAggregates on the packed-BIGINT order
-    (melt → per-(key,col) max → value join → pivot); no var-length
-    aggregation buffers, no driver state.
+    column was present.  All HashAggregates (melt → per-(key,col) max →
+    value join → pivot); no var-length aggregation buffers, no driver
+    state.
 
     Key-moving partial UPDATEs inherit the unchanged columns of the row
     at the OLD key (the physical row keeps them in MySQL): events that
@@ -195,18 +195,55 @@ def reduce_changes_minimal(events: DataFrame,
     so the MERGE can coalesce from the origin row (whose bucket is always
     touched — its own tombstone stages there).
 
+    MySQL reuses deleted keys, so a key's in-batch history can hold DEAD
+    row generations next to the history of the row that finally lives
+    there (e.g. ``I(X) … D(X) … partial U moving O→X``: the sequential
+    apply inherits X's unchanged columns from O's row, and X's own dead
+    I/D must contribute nothing — see mysql/oracle.apply_records).  Raw
+    log order can't express that (the dead D at X would barrier-kill the
+    remapped O values it precedes), so every event is classified dead or
+    physical first and ranked by an *effective* order:
+
+      * a native event at a move-target key is DEAD if it precedes the
+        first move-in (it belongs to a prior row generation — the move-in
+        proves that generation was deleted);
+      * a remapped event is DEAD if its source-key window has its own
+        move-in and the event precedes it (the old row that occupied the
+        key before the tracked row arrived);
+      * dead events are excluded from both the melt and the barrier set;
+      * effective order = (arrival position, own order) packed into one
+        DECIMAL(38,0) — remapped events rank at their chain's arrival at
+        the final key (just before the move-in event), natives at their
+        own position.  Decimal is fixed-width in aggregation buffers, so
+        the per-(key,col) winner search stays a HashAggregate.
+
     Output matches reduce_changes plus ``present_cols``: null = the row
-    fully resolved within this batch (a barrier was seen); else a csv of
-    the columns this batch resolved — LakeTable.merge coalesces the rest
-    from the existing row.  Batches must arrive in log order (true for
-    replay and the streaming tail; idempotent re-delivery of the same
-    batch is safe)."""
+    fully resolved within this batch; else a csv of the columns this
+    batch resolved — LakeTable.merge coalesces the rest from the
+    chain-origin row (``base_repo/base_path`` set) or the existing row at
+    the same key.  ``is-patch`` is derived from whether every payload
+    column actually resolved, not from barrier presence (a dead barrier
+    must not mask an unresolved move-in).  Batches must arrive in log
+    order (true for replay and the streaming tail; idempotent re-delivery
+    of the same batch is safe).
+
+    ``broadcast_winners``: per-key aggregates (winner/barrier/column-
+    winner sets) are broadcast by default so the payload stream never
+    shuffles; disable for batches whose distinct-key count exceeds driver
+    memory — the joins then shuffle (mirrors ``last_writer_wins``).
+
+    The returned DataFrame carries ``_persisted_source`` — the internally
+    persisted decoded batch (several sub-plans read it).  Callers that
+    consume the result (replay / stream_apply) must unpersist it after
+    the terminal action: ``release_minimal(out)``."""
     payload = ["commit", "lang", "content", *(extra_names or [])]
+    hint = F.broadcast if broadcast_winners else (lambda df: df)
     good, _bad = quarantine_bad_crc(events)
     good = with_key_change_tombstones(good)
     # the decoded stream feeds several sub-plans (moves, barriers, top,
     # melt) — persist one decode instead of re-decoding per sub-plan
     ev = good.withColumn("_ord", pack_ord()).persist()
+    persisted = ev
 
     # --- key-move lineage ---------------------------------------------------
     moved = ((F.col("op") == "U") & F.col("before_repo").isNotNull()
@@ -218,76 +255,128 @@ def reduce_changes_minimal(events: DataFrame,
                      F.col("repo").alias("t_r"),
                      F.col("path").alias("t_p"),
                      F.col("_ord").alias("m_ord")))
-    # terminal closure by path doubling: after k rounds each edge points
-    # ≤2^k hops further; 6 rounds cover 64-hop in-batch chains (a cycle
-    # or longer chain poisons the remap below and raises)
-    fin = moves.select("f_r", "f_p", "t_r", "t_p", "m_ord",
+    # each edge gets its key-reuse window: (lo_ord, m_ord) = events at the
+    # source key between its previous move-out and this one belong to the
+    # row THIS edge moved (MySQL reuses vacated keys, so one key can be a
+    # move source many times)
+    from pyspark.sql.window import Window
+    edges = moves.withColumn("lo_ord", F.coalesce(
+        F.lag("m_ord").over(
+            Window.partitionBy("f_r", "f_p").orderBy("m_ord")),
+        F.lit(-1)))
+    # terminal closure by TIME-CONSTRAINED edge composition: a chain may
+    # only continue through the target key's first move-out AFTER the
+    # arrival (h_lo < in_ord < h_m) — without the window check, a later
+    # move-in to a vacated key would compose with that key's EARLIER
+    # move-out and route the wrong row's history.  Each round composes
+    # against the FIXED edge table (a fin⋈fin doubling would double the
+    # logical PLAN per round — 2^6 copies of the moves subplan); 6 rounds
+    # follow 7-hop in-batch chains, longer (or a cycle) poisons the remap
+    # and raises.
+    fin = edges.select("f_r", "f_p", "lo_ord", "m_ord", "t_r", "t_p",
                        F.col("m_ord").alias("in_ord"))
-    hop = moves.select(F.col("f_r").alias("h_f_r"),
+    hop = edges.select(F.col("f_r").alias("h_f_r"),
                        F.col("f_p").alias("h_f_p"),
+                       F.col("lo_ord").alias("h_lo"),
+                       F.col("m_ord").alias("h_m"),
                        F.col("t_r").alias("h_t_r"),
-                       F.col("t_p").alias("h_t_p"),
-                       F.col("m_ord").alias("h_ord"))
+                       F.col("t_p").alias("h_t_p"))
+
+    def _hop_cond() -> F.Column:
+        return ((F.col("t_r") == F.col("h_f_r"))
+                & (F.col("t_p") == F.col("h_f_p"))
+                & (F.col("h_lo") < F.col("in_ord"))
+                & (F.col("in_ord") < F.col("h_m")))
+
     for _ in range(6):
-        fin = (fin.join(F.broadcast(hop),
-                        (F.col("t_r") == F.col("h_f_r"))
-                        & (F.col("t_p") == F.col("h_f_p")), "left")
-               .select("f_r", "f_p",
+        fin = (fin.join(hint(hop), _hop_cond(), "left")
+               .select("f_r", "f_p", "lo_ord", "m_ord",
                        F.coalesce("h_t_r", "t_r").alias("t_r"),
                        F.coalesce("h_t_p", "t_p").alias("t_p"),
-                       "m_ord",
-                       F.coalesce("h_ord", "in_ord").alias("in_ord")))
-    # unresolved after 6 doublings = >64-hop chain or a cycle: poison
-    still = (fin.join(F.broadcast(hop),
-                      (F.col("t_r") == F.col("h_f_r"))
-                      & (F.col("t_p") == F.col("h_f_p")), "left"))
+                       F.coalesce("h_m", "in_ord").alias("in_ord")))
+    # a further hop still matching after 6 rounds = >7-hop chain or a
+    # cycle: poison
+    still = fin.join(hint(hop), _hop_cond(), "left")
     fin = still.select(
-        "f_r", "f_p", "m_ord", "in_ord",
+        "f_r", "f_p", "lo_ord", "m_ord", "in_ord",
         F.when(F.col("h_f_r").isNull(), F.col("t_r"))
         .otherwise(F.raise_error(F.lit(
-            "reduce_changes_minimal: key-move chain exceeds 64 hops "
+            "reduce_changes_minimal: key-move chain exceeds 7 hops "
             "within one batch (or cycles); use smaller batches or FULL "
             "row images"))).alias("t_r"),
         F.col("t_p"))
-    # remap: events at a moved-from key BEFORE its move-out (and after
-    # its previous move-out, when the key was reused between two moves)
-    # belong to the physical row and follow the chain to the final key
-    from pyspark.sql.window import Window
-    remap = (fin.select(F.col("f_r").alias("r_r"),
-                        F.col("f_p").alias("r_p"), "t_r", "t_p", "m_ord")
-             .withColumn("lo_ord", F.coalesce(
-                 F.lag("m_ord").over(
-                     Window.partitionBy("r_r", "r_p").orderBy("m_ord")),
-                 F.lit(-1))))
-    ev = (ev.join(F.broadcast(remap),
+    # remap: events at a moved-from key inside the edge's window follow
+    # the chain to the final key
+    remap = fin.select(F.col("f_r").alias("r_r"),
+                       F.col("f_p").alias("r_p"), "t_r", "t_p", "m_ord",
+                       "in_ord", "lo_ord")
+    # per source-key window: the move-in that delivered the tracked row
+    # to this key (if any) — events before it belong to the key's prior,
+    # now-dead row generation
+    mt = moves.select(F.col("t_r").alias("mt_r"), F.col("t_p").alias("mt_p"),
+                      F.col("m_ord").alias("mt_ord"))
+    remap = (remap.join(hint(mt),
+                        (F.col("mt_r") == F.col("r_r"))
+                        & (F.col("mt_p") == F.col("r_p"))
+                        & (F.col("mt_ord") > F.col("lo_ord"))
+                        & (F.col("mt_ord") < F.col("m_ord")), "left")
+             .groupBy("r_r", "r_p", "m_ord")
+             .agg(F.first("t_r").alias("t_r"), F.first("t_p").alias("t_p"),
+                  F.first("in_ord").alias("in_ord"),
+                  F.first("lo_ord").alias("lo_ord"),
+                  F.max("mt_ord").alias("arr_ord")))
+    # first arrival per final key: native events before it belong to the
+    # key's prior row generation (the move-in proves it was deleted)
+    min_in = (fin.groupBy(F.col("t_r").alias("n_r"),
+                          F.col("t_p").alias("n_p"))
+              .agg(F.min("in_ord").alias("_min_in")))
+    ev = (ev.join(hint(remap),
                   (F.col("repo") == F.col("r_r"))
                   & (F.col("path") == F.col("r_p"))
                   & (F.col("_ord") < F.col("m_ord"))
                   & (F.col("_ord") > F.col("lo_ord")), "left")
+          .withColumn("_in", F.col("in_ord"))
+          .withColumn("_dead", F.col("arr_ord").isNotNull()
+                      & (F.col("_ord") < F.col("arr_ord")))
           .withColumn("repo", F.coalesce("t_r", "repo"))
           .withColumn("path", F.coalesce("t_p", "path"))
-          .drop("r_r", "r_p", "t_r", "t_p", "m_ord", "lo_ord"))
-    # origin per final key: the latest move-in wins (an earlier chain at
-    # the same key is dead behind its barrier); chain starts are
-    # moved-from keys that are nobody's target
-    targets = moves.select(F.col("t_r").alias("x_r"),
-                           F.col("t_p").alias("x_p"))
-    starts = (fin.join(F.broadcast(targets),
-                       (F.col("f_r") == F.col("x_r"))
-                       & (F.col("f_p") == F.col("x_p")), "left_anti"))
-    origin = (starts.groupBy(F.col("t_r").alias("repo"),
-                             F.col("t_p").alias("path"))
-              .agg(F.max(F.struct(F.col("in_ord"),
+          .drop("r_r", "r_p", "t_r", "t_p", "m_ord", "lo_ord", "in_ord",
+                "arr_ord"))
+    ev = (ev.join(hint(min_in),
+                  (F.col("repo") == F.col("n_r"))
+                  & (F.col("path") == F.col("n_p")), "left")
+          .withColumn("_dead", F.col("_dead")
+                      | (F.col("_in").isNull() & F.col("_min_in").isNotNull()
+                         & (F.col("_ord") < F.col("_min_in"))))
+          .drop("n_r", "n_p", "_min_in"))
+    # effective order (arrival position, own order) as one DECIMAL(38,0):
+    # remapped events rank at their chain's arrival at the final key —
+    # 2^63·pos + own fits in 38 digits (< 1e38) and decimal aggregation
+    # buffers are fixed-width, so max(_eff) stays a HashAggregate
+    pos = F.coalesce(F.col("_in"), F.col("_ord")).cast("decimal(20,0)")
+    ev = ev.withColumn(
+        "_eff", (pos * F.lit("9223372036854775808").cast("decimal(20,0)")
+                 + F.col("_ord")).cast("decimal(38,0)"))
+    alive = ev.filter(~F.col("_dead"))
+
+    # origin per final key: the chain start of the LATEST arrival (an
+    # earlier chain at the same key is a dead generation); the start is
+    # the winning chain's earliest move-out window
+    win = fin.groupBy("t_r", "t_p").agg(F.max("in_ord").alias("in_ord"))
+    origin = (fin.join(win, on=["t_r", "t_p", "in_ord"], how="inner")
+              .groupBy(F.col("t_r").alias("repo"),
+                       F.col("t_p").alias("path"))
+              .agg(F.min(F.struct(F.col("m_ord"),
                                   F.col("f_r"), F.col("f_p"))).alias("w"))
               .select("repo", "path", F.col("w.f_r").alias("base_repo_m"),
                       F.col("w.f_p").alias("base_path_m")))
 
     is_barrier = (F.col("op") == "D") | F.col("present_cols").isNull()
-    bar = (ev.filter(is_barrier).groupBy(*KEY_COLS)
-           .agg(F.max("_ord").alias("_bar")))
+    bar = (alive.filter(is_barrier).groupBy(*KEY_COLS)
+           .agg(F.max("_eff").alias("_bar")))
 
     top_ord = ev.groupBy(*KEY_COLS).agg(F.max("_ord").alias("_ord"))
-    top = (ev.join(F.broadcast(top_ord), on=[*KEY_COLS, "_ord"],
+    top = (ev.join(hint(top_ord), on=[*KEY_COLS, "_ord"],
                    how="inner")
            .dropDuplicates(list(KEY_COLS))
            .select(*KEY_COLS, "op", *ORDER_COLS, "gtid", "ts_sec", "_ord"))
@@ -303,20 +392,20 @@ def reduce_changes_minimal(events: DataFrame,
                   | F.array_contains(F.split("present_cols", ","),
                                      F.lit(c))).alias("p"))
         for c in payload])
-    melted = (ev.filter(F.col("op") != "D")
-              .select(*KEY_COLS, "_ord",
+    melted = (alive.filter(F.col("op") != "D")
+              .select(*KEY_COLS, "_eff",
                       F.explode(entries).alias("e"))
               .filter(F.col("e.p"))
-              .select(*KEY_COLS, "_ord", F.col("e.c").alias("_col"),
+              .select(*KEY_COLS, "_eff", F.col("e.c").alias("_col"),
                       F.col("e.v").alias("_val")))
-    melted = (melted.join(F.broadcast(bar), on=list(KEY_COLS), how="left")
-              .filter(F.col("_ord") >= F.coalesce(F.col("_bar"),
-                                                  F.lit(-1)))
+    melted = (melted.join(hint(bar), on=list(KEY_COLS), how="left")
+              .filter(F.col("_eff") >= F.coalesce(
+                  F.col("_bar"), F.lit(-1).cast("decimal(38,0)")))
               .drop("_bar"))
     col_winners = (melted.groupBy(*KEY_COLS, "_col")
-                   .agg(F.max("_ord").alias("_ord")))
-    resolved = (melted.join(F.broadcast(col_winners),
-                            on=[*KEY_COLS, "_col", "_ord"], how="inner")
+                   .agg(F.max("_eff").alias("_eff")))
+    resolved = (melted.join(hint(col_winners),
+                            on=[*KEY_COLS, "_col", "_eff"], how="inner")
                 .dropDuplicates([*KEY_COLS, "_col"]))
     pivoted = (resolved.groupBy(*KEY_COLS)
                .pivot("_col", payload)
@@ -324,14 +413,19 @@ def reduce_changes_minimal(events: DataFrame,
                     F.count(F.lit(1)).alias("n")))
 
     out = top.join(pivoted, on=list(KEY_COLS), how="left") \
-        .join(F.broadcast(bar.select(*KEY_COLS,
-                                     F.lit(True).alias("_has_bar"))),
-              on=list(KEY_COLS), how="left") \
-        .join(F.broadcast(origin), on=list(KEY_COLS), how="left")
+        .join(hint(origin), on=list(KEY_COLS), how="left")
     resolved_csv = F.array_join(F.filter(F.array(*[
         F.when(F.coalesce(F.col(f"{c}_n"), F.lit(0)) >= 1, F.lit(c))
         for c in payload]), lambda x: x.isNotNull()), ",")
-    is_patch = (F.col("op") != "D") & F.col("_has_bar").isNull()
+    # a patch = some payload column did NOT resolve within the batch —
+    # never inferred from barrier presence (a dead generation's barrier
+    # must not turn a partial move-in into a full image of NULLs)
+    unresolved_any = None
+    for c in payload:
+        miss = F.coalesce(F.col(f"{c}_n"), F.lit(0)) == 0
+        unresolved_any = miss if unresolved_any is None \
+            else (unresolved_any | miss)
+    is_patch = (F.col("op") != "D") & unresolved_any
     out = out.select(
         *KEY_COLS, "op",
         *[F.col(f"{c}_v").alias(c) for c in payload],
@@ -343,7 +437,17 @@ def reduce_changes_minimal(events: DataFrame,
         F.when(is_patch, F.col("base_repo_m")).alias("base_repo"),
         F.when(is_patch, F.col("base_path_m")).alias("base_path"),
         *ORDER_COLS, "gtid", "ts_sec")
+    out._persisted_source = persisted
     return out
+
+
+def release_minimal(upserts: DataFrame) -> None:
+    """Unpersist the decoded batch reduce_changes_minimal cached — call
+    once the terminal action (the MERGE) has consumed the reduction, or a
+    long-running stream leaks one cached DataFrame per micro-batch."""
+    src = getattr(upserts, "_persisted_source", None)
+    if src is not None:
+        src.unpersist()
 
 
 def flatten_extras(upserts: DataFrame,
@@ -462,24 +566,33 @@ def final_state(upserts: DataFrame,
 
 def state_fingerprint(state: DataFrame) -> str:
     """Order-insensitive digest of a (repo, path, commit, lang, content)
-    state DF — comparable across engines via the same row serialization as
-    the oracle's digest (binlog_spark.mysql.oracle.state_digest)."""
-    import hashlib
-    import json
+    state DF — the distributed twin of mysql.oracle.state_digest: per-row
+    sha256 over the same canonical serialization, SUMMED in two 60-bit
+    lanes.  A sum commutes, so this is one aggregate over the table (map-
+    side combine, one scalar to the driver) instead of an ordered collect
+    — fingerprinting a 100 TB table costs a scan, not driver memory."""
     base = ("repo", "path", "commit", "lang", "content")
-    extra_cols = [c for c in state.columns if c not in base]
-    rows = (state
-            .select("repo", "path", "commit", "lang",
-                    F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
-                    .alias("content_sha"), *extra_cols)
-            .orderBy("repo", "path")
-            .collect())
-    h = hashlib.sha256()
-    for r in rows:
-        extras = {c: r[c] for c in extra_cols if r[c] is not None}
-        line = json.dumps([r.repo, r.path, r.commit, r.lang, r.content_sha,
-                           extras],
-                          separators=(",", ":"), sort_keys=True)
-        h.update(line.encode())
-        h.update(b"\n")
-    return h.hexdigest()
+    extra_cols = sorted(c for c in state.columns if c not in base)
+    if extra_cols:
+        extras = F.array_join(F.filter(F.array(*[
+            F.when(F.col(c).isNotNull(),
+                   F.concat(F.lit(f"{c}="), F.col(c).cast("string")))
+            for c in extra_cols]), lambda x: x.isNotNull()), "\x1e")
+    else:
+        extras = F.lit("")
+    line = F.concat_ws(
+        "\x1f", F.col("repo"), F.col("path"),
+        F.coalesce(F.col("commit"), F.lit("")),
+        F.coalesce(F.col("lang"), F.lit("")),
+        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256),
+        extras)
+    h = F.sha2(line, 256)
+    row = state.select(
+        F.sum(F.conv(F.substring(h, 1, 15), 16, 10)
+              .cast("decimal(38,0)")).alias("a"),
+        F.sum(F.conv(F.substring(h, 17, 15), 16, 10)
+              .cast("decimal(38,0)")).alias("b"),
+        F.count(F.lit(1)).alias("n")).collect()[0]
+    a = int(row.a or 0) % (1 << 120)
+    b = int(row.b or 0) % (1 << 120)
+    return f"{row.n:x}:{a:030x}:{b:030x}"

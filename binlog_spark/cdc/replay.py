@@ -27,7 +27,8 @@ from ..decoder.chunks import chunks_df
 from ..decoder.kernel import decode_changes, decode_keys
 from ..lake.table import LakeTable
 from .pipeline import (flatten_extras, reduce_changes,
-                       reduce_changes_minimal, scan_extra_columns)
+                       reduce_changes_minimal, release_minimal,
+                       scan_extra_columns)
 
 
 def _batch_id(dump_dir: str, idx: int, spans: list) -> str:
@@ -66,7 +67,8 @@ def replay(spark: SparkSession, dump_dir: str, table_root: str, *,
            lineage: bool = True,
            compact_every: int | None = None,
            compact_tombstone_ratio: float | None = None,
-           minimal_images: bool = False) -> LakeTable:
+           minimal_images: bool = False,
+           broadcast_winners: bool = True) -> LakeTable:
     """Replay a dump dir into a lake table; safe to re-run (idempotent).
 
     ``compact_every`` / ``compact_tombstone_ratio``: retention policy —
@@ -99,15 +101,17 @@ def replay(spark: SparkSession, dump_dir: str, table_root: str, *,
         # the pipeline.
         extra_names = scan_extra_columns(spans)
         if minimal_images:
-            upserts = reduce_changes_minimal(events,
-                                             extra_names=extra_names)
+            upserts = reduce_changes_minimal(
+                events, extra_names=extra_names,
+                broadcast_winners=broadcast_winners)
         else:
             # late materialization: winner search runs on the cheap
             # key-only decode; the full decode is joined against the
             # winner set once
             keys = decode_keys(cdf, partitions=partitions)
             upserts = reduce_changes(events, salt_buckets=salt_buckets,
-                                     key_events=keys)
+                                     key_events=keys,
+                                     broadcast_winners=broadcast_winners)
             upserts, _new_cols = flatten_extras(upserts, names=extra_names)
         last_file = max(s[1] for s in spans)
         last_end = max(s[2] + s[3] for s in spans if s[1] == last_file)
@@ -117,6 +121,7 @@ def replay(spark: SparkSession, dump_dir: str, table_root: str, *,
         # costs more than a second decode pass at scale
         metrics = write_lineage(events, table_root, bid) if lineage else {}
         snap = table.merge(spark, upserts, batch_id=bid, offsets=offsets)
+        release_minimal(upserts)
         snap.setdefault("stats", {}).update(metrics)
         if compact_every or compact_tombstone_ratio:
             table.maybe_compact(spark, every_n_commits=compact_every,

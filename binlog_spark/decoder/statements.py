@@ -110,10 +110,31 @@ def decode_span_statements(data: bytes, log_file: str, *,
             pos += 1
             value = None
             if not is_null:
-                pos += 1 + 4  # type + charset (STRING vars)
+                # type(1) + charset(4) + len(4) + value [+ flags(1)] —
+                # the reference dispatches on the type byte the same way
+                # (/root/reference/events.go:306-338); rendering degrades
+                # to hex for unknown types so one exotic variable cannot
+                # abort the whole chunk's statement decode
+                vtype = b[pos]
+                pos += 1 + 4
                 vlen = int.from_bytes(b[pos:pos + 4], "little")
                 pos += 4
-                value = str(b[pos:pos + vlen], "utf-8")
+                raw = b[pos:pos + vlen]
+                pos += vlen
+                unsigned = pos < len(b) and bool(b[pos] & 1)
+                if vtype == 0:       # STRING_RESULT
+                    value = str(raw, "utf-8", errors="replace")
+                elif vtype == 1:     # REAL_RESULT: LE double
+                    import struct as _st
+                    value = repr(_st.unpack("<d", raw)[0])
+                elif vtype == 2:     # INT_RESULT (flags bit 0 = unsigned)
+                    value = str(int.from_bytes(raw, "little",
+                                               signed=not unsigned))
+                elif vtype == 4:     # DECIMAL_RESULT: prec+scale+packed
+                    from ..mysql.decode import decode_decimal
+                    value = decode_decimal(bytes(raw[2:]), raw[0], raw[1])
+                else:
+                    value = bytes(raw).hex()
             emit(fr, "USER_VAR", text=name, value=value)
         elif t == C.INCIDENT_EVENT:
             num = b[0] | (b[1] << 8)

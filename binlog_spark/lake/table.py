@@ -336,13 +336,14 @@ class LakeTable:
                       if has_base else []),
                     *[F.col(c).alias(f"_s_{c}") for c in non_key])
                 # persisted tombstones never donate column values
-                joined = (old.withColumn(
-                    "_old_hit", F.when(F.col("op") != "D", F.lit(True)))
-                    .join(s2, on=keys, how="full_outer"))
+                joined = old.join(s2, on=keys, how="full_outer")
                 if has_base:
-                    # key-move lineage: unresolved columns inherit from
-                    # the chain-origin row (its bucket is always touched
-                    # — its own tombstone staged there)
+                    # key-move lineage: a staged row with base keys is a
+                    # MOVE-IN — unresolved columns inherit from the
+                    # chain-origin row (its bucket is always touched: its
+                    # own tombstone staged there) and NEVER from the old
+                    # row at the same key (the move-in proves that row is
+                    # a dead generation — MySQL requires the key free)
                     base = old.filter(F.col("op") != "D").select(
                         *[F.col(k).alias(f"_b_key_{i}")
                           for i, k in enumerate(keys)],
@@ -361,11 +362,13 @@ class LakeTable:
                            | F.array_contains(pres_arr, F.lit(c)))
                     out = F.when(staged_hit & has, F.col(f"_s_{c}"))
                     if has_base:
-                        out = out.when(F.col("_old_hit").isNotNull(),
-                                       F.col(c)).otherwise(F.col(f"_ob_{c}"))
-                    else:
-                        out = out.otherwise(F.col(c))
-                    return out.alias(c)
+                        out = out.when(staged_hit
+                                       & F.col("_s_base_0").isNotNull(),
+                                       F.col(f"_ob_{c}"))
+                    # unstaged old rows (incl. persisted tombstones, whose
+                    # payload is already null) pass through; a base-less
+                    # patch coalesces from the live old row at the key
+                    return out.otherwise(F.col(c)).alias(c)
 
                 merged = (joined.select(*keys,
                                         *[resolve(c) for c in non_key])

@@ -363,17 +363,43 @@ def rand_body(seed1: int, seed2: int) -> bytes:
     return int8(seed1) + int8(seed2)
 
 
-def user_var_body(name: str, value: str | None,
-                  charset: int = 45) -> bytes:
+#: USER_VAR value types (MySQL Item_result)
+UV_STRING, UV_REAL, UV_INT, UV_DECIMAL = 0, 1, 2, 4
+
+
+def user_var_body(name: str, value, charset: int = 45, *,
+                  unsigned: bool = False) -> bytes:
     """USER_VAR body: name_len(4) + name + is_null(1) [+ type(1) +
-    charset(4) + val_len(4) + value] — STRING-typed values only
-    (layout: /root/reference/events.go:306-338)."""
+    charset(4) + val_len(4) + value [+ flags(1)]]
+    (layout: /root/reference/events.go:306-338).
+
+    The value type is dispatched from the Python type: str → STRING,
+    int → INT (``unsigned`` sets the trailing flags byte and the 64-bit
+    encoding), float → REAL (LE double), ("decimal", text, precision,
+    scale) → DECIMAL (precision(1) + scale(1) + packed decimal)."""
+    import struct as _st
     ndata = name.encode()
     out = int4(len(ndata)) + ndata
     if value is None:
         return out + int1(1)
-    vdata = value.encode()
-    return out + int1(0) + int1(0) + int4(charset) + int4(len(vdata)) + vdata
+    if isinstance(value, str):
+        vtype, vdata = UV_STRING, value.encode()
+    elif isinstance(value, bool):
+        raise NotImplementedError("bool user vars")
+    elif isinstance(value, int):
+        vtype = UV_INT
+        vdata = value.to_bytes(8, "little", signed=not unsigned)
+    elif isinstance(value, float):
+        vtype, vdata = UV_REAL, _st.pack("<d", value)
+    elif isinstance(value, tuple) and value[0] == "decimal":
+        _, text, precision, scale = value
+        vtype = UV_DECIMAL
+        vdata = (int1(precision) + int1(scale)
+                 + encode_decimal(text, precision, scale))
+    else:
+        raise NotImplementedError(f"user var type {type(value)}")
+    return (out + int1(0) + int1(vtype) + int4(charset)
+            + int4(len(vdata)) + vdata + int1(1 if unsigned else 0))
 
 
 def incident_body(number: int, message: str) -> bytes:

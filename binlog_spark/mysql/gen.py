@@ -89,6 +89,13 @@ class GenConfig:
     #: PK+changed after-images; DELETEs carry PK-only WHERE images
     #: (/root/reference/rbr.go:283-303 reads the columns-present subsets)
     minimal_images: bool = False
+    #: fraction of new keys (INSERT targets and key-move destinations)
+    #: drawn from previously-vacated keys instead of fresh ones — MySQL
+    #: reuses deleted PKs freely, so a key's history can interleave dead
+    #: row generations with the history of the row that finally lives
+    #: there (I(X)…D(X)…U moving O→X).  0 = never reuse (legacy fixtures
+    #: stay byte-identical).
+    key_reuse_ratio: float = 0.0
 
 
 class ChangeScript:
@@ -105,6 +112,9 @@ class ChangeScript:
         # live rows: (commit, lang, content, branch-or-None)
         self.live: dict[tuple[str, str], tuple] = {}
         self.live_keys: list[tuple[str, str]] = []
+        # keys vacated by DELETE or a key-moving UPDATE — candidates for
+        # reuse (key_reuse_ratio)
+        self.dead_keys: list[tuple[str, str]] = []
         self.n_emitted = 0
         self._commit_no = 0
         # precompute Zipf repo weights
@@ -124,6 +134,17 @@ class ChangeScript:
             f"c{self.cfg.seed}:{self._commit_no}".encode()).hexdigest()
 
     def _new_key(self) -> tuple[str, str]:
+        # reuse a vacated key sometimes (MySQL PKs are reusable; the
+        # extra rnd draw happens only when the ratio is on, so legacy
+        # fixtures keep their exact byte streams)
+        if (self.cfg.key_reuse_ratio > 0 and self.dead_keys
+                and self.rnd.random() < self.cfg.key_reuse_ratio):
+            i = self.rnd.randrange(len(self.dead_keys))
+            key = self.dead_keys[i]
+            self.dead_keys[i] = self.dead_keys[-1]
+            self.dead_keys.pop()
+            if key not in self.live:
+                return key
         repo = self.rnd.choices(self.repos, weights=self.weights)[0]
         depth = self.rnd.randint(1, 5)
         lang = self.rnd.choice(LANGS)
@@ -169,6 +190,7 @@ class ChangeScript:
                     del self.live[(repo, path)]
                     self.live_keys[i] = self.live_keys[-1]
                     self.live_keys.pop()
+                    self.dead_keys.append((repo, path))
                     lang = EXT2LANG.get(new_path.rsplit(".", 1)[-1])
                     row = (self._commit(), lang, self._content(),
                            self._branch())
@@ -187,8 +209,37 @@ class ChangeScript:
                 self.live_keys[i] = self.live_keys[-1]
                 self.live_keys.pop()
                 del self.live[(repo, path)]
+                self.dead_keys.append((repo, path))
                 yield Change("D", repo, path)
             self.n_emitted += 1
+
+    def final_state(self) -> dict[tuple[str, str], tuple]:
+        return dict(self.live)
+
+
+class StaticScript:
+    """A hand-written change sequence with the same surface ChangeScript
+    exposes to ``generate`` — for targeted fixtures (key reuse, move
+    chains) whose exact interleaving a seeded random script can't pin."""
+
+    def __init__(self, changes: Sequence[Change]) -> None:
+        self.changes = list(changes)
+        self.live: dict[tuple[str, str], tuple] = {}
+        self.evolved = False
+
+    def __iter__(self) -> Iterator[Change]:
+        for ch in self.changes:
+            key = (ch.repo, ch.path)
+            if ch.op == "I":
+                self.live[key] = (ch.commit, ch.lang, ch.content)
+            elif ch.op == "U":
+                bkey = ((ch.before_repo, ch.before_path)
+                        if ch.before_repo is not None else key)
+                self.live.pop(bkey, None)
+                self.live[key] = (ch.commit, ch.lang, ch.content)
+            else:
+                self.live.pop(key, None)
+            yield ch
 
     def final_state(self) -> dict[tuple[str, str], tuple]:
         return dict(self.live)
@@ -347,15 +398,19 @@ def _pad(row: tuple, ncol: int) -> tuple:
 
 
 def generate(out_dir: str, cfg: GenConfig | None = None,
-             chunk_target: int = 1 << 20) -> Manifest:
+             chunk_target: int = 1 << 20,
+             script: "ChangeScript | StaticScript | None" = None) -> Manifest:
     """Generate a binlog dump dir + manifest from a seeded change script.
 
     Groups the script into transactions of ``events_per_tx`` rows-events of
     up to ``rows_per_event`` rows each, UPDATEs carrying before-images from
     the live state (so the stream is a faithful RBR log).
+
+    ``script``: override the seeded ChangeScript with an explicit change
+    sequence (StaticScript) — targeted edge-case fixtures.
     """
     cfg = cfg or GenConfig()
-    script = ChangeScript(cfg)
+    script = script if script is not None else ChangeScript(cfg)
     rnd = random.Random(cfg.seed + 1)
     sid = uuid.UUID(int=rnd.getrandbits(128)).bytes
     # golden-parquet oracles are recorded for every fixture a correctness
@@ -421,11 +476,36 @@ def generate(out_dir: str, cfg: GenConfig | None = None,
             ex.append((C.RAND_EVENT, E.rand_body(s1, s2),
                        ("RAND", None, None, None, s1, s2)))
         if rnd_stmt.random() < 0.04:
+            # the full value-type matrix a real server logs: NULL, STRING,
+            # signed/unsigned INT, REAL, DECIMAL
+            # (/root/reference/events.go:306-338 dispatches on the type)
             name = f"v{rnd_stmt.randrange(10)}"
-            val = (None if rnd_stmt.random() < 0.2
-                   else f"val-{rnd_stmt.randrange(1000)}")
-            ex.append((C.USER_VAR_EVENT, E.user_var_body(name, val),
-                       ("USER_VAR", None, name, val, None, None)))
+            roll = rnd_stmt.random()
+            unsigned = False
+            if roll < 0.15:
+                val, expect = None, None
+            elif roll < 0.4:
+                val = f"val-{rnd_stmt.randrange(1000)}"
+                expect = val
+            elif roll < 0.6:
+                val = rnd_stmt.randrange(-(1 << 40), 1 << 40)
+                expect = str(val)
+            elif roll < 0.7:
+                val = (1 << 63) + rnd_stmt.randrange(1 << 40)
+                unsigned = True
+                expect = str(val)
+            elif roll < 0.85:
+                val = round(rnd_stmt.uniform(-1e6, 1e6), 6)
+                expect = repr(val)
+            else:
+                sign = "-" if rnd_stmt.random() < 0.5 else ""
+                text = (f"{sign}{rnd_stmt.randrange(10**8)}"
+                        f".{rnd_stmt.randrange(10**4):04d}")
+                val = ("decimal", text, 12, 4)
+                expect = text
+            ex.append((C.USER_VAR_EVENT,
+                       E.user_var_body(name, val, unsigned=unsigned),
+                       ("USER_VAR", None, name, expect, None, None)))
         return ex
 
     def flush_tx() -> None:

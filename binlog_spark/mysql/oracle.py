@@ -13,7 +13,6 @@ in log order — insert upserts, update rewrites, delete removes.
 from __future__ import annotations
 
 import hashlib
-import json
 import os
 from typing import Iterator
 
@@ -84,19 +83,29 @@ def final_state(dump_dir: str) -> dict[tuple[str, str], dict]:
     return apply_records(iter_change_records(dump_dir))
 
 
+def row_line(row: dict) -> str:
+    """Canonical per-row serialization under the digest: key fields,
+    sha256(content) (the BASELINE.json:15 invariant), and the non-null
+    schema-evolution extras sorted by name."""
+    content = row.get("content") or ""
+    extras = sorted((k, v) for k, v in row.items()
+                    if k not in REPO_COLS and v is not None)
+    return "\x1f".join([
+        row["repo"], row["path"], row.get("commit") or "",
+        row.get("lang") or "",
+        hashlib.sha256(content.encode()).hexdigest(),
+        "\x1e".join(f"{k}={v}" for k, v in extras)])
+
+
 def state_digest(state: dict[tuple[str, str], dict]) -> str:
-    """Order-insensitive digest of the final state incl. per-row
-    sha256(content) — the cross-implementation equality check."""
-    h = hashlib.sha256()
-    for key in sorted(state):
-        row = state[key]
-        content = row.get("content") or ""
-        extras = {k: v for k, v in row.items()
-                  if k not in REPO_COLS and v is not None}
-        line = json.dumps(
-            [row["repo"], row["path"], row["commit"], row.get("lang"),
-             hashlib.sha256(content.encode()).hexdigest(), extras],
-            separators=(",", ":"), sort_keys=True)
-        h.update(line.encode())
-        h.update(b"\n")
-    return h.hexdigest()
+    """Order-insensitive digest of the final state: per-row
+    sha256(row_line) summed in two independent 60-bit lanes (mod 2^120).
+    A SUM is commutative, so the distributed twin
+    (cdc.pipeline.state_fingerprint) computes the identical digest as a
+    plain aggregate — no driver-side sort/collect of the table."""
+    a = b = 0
+    for row in state.values():
+        h = hashlib.sha256(row_line(row).encode()).hexdigest()
+        a = (a + int(h[0:15], 16)) % (1 << 120)
+        b = (b + int(h[16:31], 16)) % (1 << 120)
+    return f"{len(state):x}:{a:030x}:{b:030x}"

@@ -19,8 +19,9 @@ _SF_CHANGES = {"sf0.001": 4000, "sf0.01": 20000, "sf0.1": 400000}
 def _fixture_dir(sf_dir: str) -> tuple[str, int]:
     sf = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
     n = _SF_CHANGES.get(sf, 20000)
-    # v3: key-moving updates, statement events + golden parquet oracles
-    return f"/tmp/binlog_fixture_v3_{sf}_{n}", n
+    # v4: typed USER_VAR values (string/int/unsigned/real/decimal) in the
+    # statement stream; v3 added key-moves + statement events + goldens
+    return f"/tmp/binlog_fixture_v4_{sf}_{n}", n
 
 
 def ensure_fixture(sf_dir: str) -> str:

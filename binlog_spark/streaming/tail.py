@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..cdc.pipeline import (flatten_extras, reduce_changes,
-                            reduce_changes_minimal,
+                            reduce_changes_minimal, release_minimal,
                             scan_extra_columns_blobs)
 from ..decoder.kernel import CHANGE_SCHEMA, decode_changes, decode_keys
 from ..lake.table import LakeTable
@@ -62,6 +62,7 @@ def stream_apply(spark: SparkSession, dump_dir: str, table_root: str,
                  available_now: bool = True,
                  processing_interval: str = "5 seconds",
                  minimal_images: bool = False,
+                 broadcast_winners: bool = True,
                  on_batch: Callable[[int, dict], None] | None = None):
     """Tail a staging dir into a lake table via foreachBatch MERGE.
 
@@ -86,8 +87,9 @@ def stream_apply(spark: SparkSession, dump_dir: str, table_root: str,
         # upsert pipeline once per micro-batch for a distinct-key probe
         extra_names = scan_extra_columns_blobs(batch_df)
         if minimal_images:
-            upserts = reduce_changes_minimal(events,
-                                             extra_names=extra_names)
+            upserts = reduce_changes_minimal(
+                events, extra_names=extra_names,
+                broadcast_winners=broadcast_winners)
         else:
             keys = decode_keys(batch_df)
             upserts = reduce_changes(events, salt_buckets=salt_buckets,
@@ -95,6 +97,9 @@ def stream_apply(spark: SparkSession, dump_dir: str, table_root: str,
             upserts, _ = flatten_extras(upserts, names=extra_names)
         snap = table.merge(spark, upserts,
                            batch_id=f"stream-{checkpoint_dir}-{batch_id}")
+        # the reduction persists the decoded batch for its sub-plans;
+        # release it or a long stream leaks one cache per micro-batch
+        release_minimal(upserts)
         if on_batch is not None:
             on_batch(batch_id, snap)
 
