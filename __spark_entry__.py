@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binlog_statement_events": binlog_demo.binlog_statement_events,
         "binlog_typed_decode": binlog_demo.binlog_typed_decode,
         "binlog_multi_table": binlog_demo.binlog_multi_table,
+        "binlog_multi_minimal": binlog_demo.binlog_multi_minimal,
         # --- CDC semantics with a SQL twin (events table) ---
         "cdc_dedup": cdc_events.cdc_dedup,
         "cdc_last_event": cdc_events.cdc_last_event,
@@ -137,6 +138,12 @@ def oracle_sql() -> dict[str, str]:
     sql["binlog_multi_table"] = f"""
         SELECT table_schema, table_name, pk_json, row_json
         FROM read_parquet('{g["multi"]}')
+        ORDER BY table_schema, table_name, pk_json
+    """
+
+    sql["binlog_multi_minimal"] = f"""
+        SELECT table_schema, table_name, pk_json, row_json
+        FROM read_parquet('{g["multi_minimal"]}')
         ORDER BY table_schema, table_name, pk_json
     """
 

@@ -222,6 +222,107 @@ def table_upserts(staged: DataFrame, columns: list[str], pk: list[str],
             .select(*pk, "op", *payload, *_META, "gtid", "ts_sec"))
 
 
+def table_upserts_minimal(staged: DataFrame, columns: list[str],
+                          pk: list[str], types: list[list] | None = None, *,
+                          broadcast_winners: bool = True) -> DataFrame:
+    """Generic-event rows of ONE table with MINIMAL (partial) row images →
+    reduced upsert batch keyed by pk.
+
+    Adapts an arbitrary primary key onto the verified per-column
+    reduction (cdc.pipeline._minimal_core, semantics on
+    reduce_changes_minimal) by PACKING the pk cells into one canonical
+    JSON-array string — the core's composite key — and unpacking to the
+    typed lake columns afterwards.  The reference surfaces the same
+    columns-present subsets to its caller (/root/reference/rbr.go:283-303);
+    here they drive a distributed per-column last-writer-wins.
+
+    Presence comes from the decoder's ``before_present``/``after_present``
+    bit-strings (null = full image).  A MINIMAL after-image carries only
+    changed columns, so the row's key is read from the after image where
+    present and the before image otherwise (the before/WHERE image always
+    carries the pk).  Output: one row per touched key plus the patch
+    metadata LakeTable.merge consumes — ``present_cols`` (csv of resolved
+    REAL column names) and ``base_{pk}`` chain-origin keys.
+
+    Callers must release the core's persisted decode after the terminal
+    action: ``cdc.pipeline.release_minimal(result)``."""
+    from .pipeline import _minimal_core, with_key_change_tombstones
+
+    payload = [c for c in columns if c not in pk]
+    idx = {c: i for i, c in enumerate(columns)}
+    P = "_c_"
+    cast_of = {}
+    if types:
+        for name, t in zip(columns, types):
+            cast_of[name] = spark_type_for(t[0], t[1], t[2])
+
+    def acell(c: str) -> F.Column:
+        return F.element_at("after_vals", idx[c] + 1)
+
+    def bcell(c: str) -> F.Column:
+        return F.element_at("before_vals", idx[c] + 1)
+
+    def abit(c: str) -> F.Column:
+        """Column present in the after image (partial images only)."""
+        return F.substring("after_present", idx[c] + 1, 1) == "1"
+
+    def key_cell(c: str) -> F.Column:
+        return (F.when(F.col("op") == "D", bcell(c))
+                .when(F.col("after_present").isNull() | abit(c), acell(c))
+                .otherwise(bcell(c)))
+
+    packed_key = F.to_json(F.array(*[key_cell(c) for c in pk]))
+    packed_before = F.when(
+        F.col("op") == "U",
+        F.to_json(F.array(*[bcell(c) for c in pk])))
+    # csv of present payload columns under the core's prefixed names;
+    # null = full image (barrier); "" = key-only partial update
+    pres_csv = F.when(
+        (F.col("op") != "D") & F.col("after_present").isNotNull(),
+        F.array_join(F.filter(F.array(*[
+            F.when(abit(c), F.lit(P + c)) for c in payload]),
+            lambda x: x.isNotNull()), ","))
+
+    ev = staged.select(
+        "op",
+        packed_key.alias("repo"), F.lit("").alias("path"),
+        packed_before.alias("before_repo"),
+        F.when(F.col("op") == "U", F.lit("")).alias("before_path"),
+        pres_csv.alias("present_cols"),
+        *[acell(c).alias(P + c) for c in payload],
+        *_META, "gtid", "ts_sec")
+    # key-moving updates tombstone the old key; present_cols is nulled on
+    # the tombstone (a delete is a full barrier); stray payload values on
+    # the tombstone are inert (the melt excludes op='D')
+    ev = with_key_change_tombstones(ev)
+    up = _minimal_core(ev, [P + c for c in payload], F.col,
+                       broadcast_winners=broadcast_winners)
+
+    karr = F.from_json(F.col("repo"), "array<string>")
+    barr = F.from_json(F.col("base_repo"), "array<string>")
+
+    def typed(col: F.Column, c: str) -> F.Column:
+        t = cast_of.get(c, "string")
+        return col.cast(t) if t != "string" else col
+
+    strip = F.array_join(
+        F.transform(F.split("present_cols", ","),
+                    lambda x: F.substring(x, len(P) + 1, 1 << 30)), ",")
+    out = up.select(
+        *[typed(F.element_at(karr, i + 1), k).alias(k)
+          for i, k in enumerate(pk)],
+        "op",
+        *[typed(F.col(P + c), c).alias(c) for c in payload],
+        F.when(F.col("present_cols").isNotNull(), strip)
+        .alias("present_cols"),
+        *[F.when(F.col("base_repo").isNotNull(),
+                 typed(F.element_at(barr, i + 1), k)).alias(f"base_{k}")
+          for i, k in enumerate(pk)],
+        *_META, "gtid", "ts_sec")
+    out._persisted_source = up._persisted_source
+    return out
+
+
 def table_root(lake_root: str, schema: str, table: str) -> str:
     return os.path.join(lake_root, f"{schema}.{table}")
 
@@ -270,6 +371,17 @@ def replay_generic(spark: SparkSession, dump_dir: str, lake_root: str, *,
          .mode("overwrite").parquet(staging))
         last_file = max(s[1] for s in spans)
         last_end = max(s[2] + s[3] for s in spans if s[1] == last_file)
+        # tables with MINIMAL (partial) row images in this batch route to
+        # the per-column reduction; FULL tables keep the cheap row-level
+        # winner search.  One column-pruned scan of the staged parquet's
+        # two presence strings — not a per-table probe job.
+        partial_tables = {
+            (r.table_schema, r.table_name)
+            for r in (spark.read.parquet(staging)
+                      .where(F.col("after_present").isNotNull()
+                             | F.col("before_present").isNotNull())
+                      .select("table_schema", "table_name")
+                      .distinct().collect())}
 
         def apply_table(item) -> None:
             (sch, tbl), t = item
@@ -287,6 +399,16 @@ def replay_generic(spark: SparkSession, dump_dir: str, lake_root: str, *,
                     batch_id=bid)
                 return
             pk = list(t.key_cols)
+            if (sch, tbl) in partial_tables:
+                from .pipeline import release_minimal
+                up = table_upserts_minimal(
+                    spark.read.parquet(part), info["columns"], pk,
+                    info["types"], broadcast_winners=broadcast_winners)
+                t.merge(spark, up, batch_id=bid,
+                        offsets={"log_file": last_file,
+                                 "next_pos": int(last_end)})
+                release_minimal(up)
+                return
             up = table_upserts(spark.read.parquet(part),
                                info["columns"], pk, info["types"],
                                broadcast_winners=broadcast_winners)

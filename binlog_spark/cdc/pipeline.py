@@ -237,9 +237,30 @@ def reduce_changes_minimal(events: DataFrame,
     consume the result (replay / stream_apply) must unpersist it after
     the terminal action: ``release_minimal(out)``."""
     payload = ["commit", "lang", "content", *(extra_names or [])]
-    hint = F.broadcast if broadcast_winners else (lambda df: df)
     good, _bad = quarantine_bad_crc(events)
     good = with_key_change_tombstones(good)
+
+    def value_of(c: str) -> F.Column:
+        if c in DATA_COLS:
+            return F.col(c)
+        return F.get_json_object("extra_json", f"$.{c}")
+
+    return _minimal_core(good, payload, value_of,
+                         broadcast_winners=broadcast_winners)
+
+
+def _minimal_core(good: DataFrame, payload: list[str], value_of,
+                  *, broadcast_winners: bool = True) -> DataFrame:
+    """Schema-generic per-column MINIMAL reduction (semantics documented
+    on reduce_changes_minimal).  ``good`` is the quarantined, tombstoned
+    event stream with columns (repo, path) as the — possibly packed —
+    key, (before_repo, before_path) as the pre-image key, ``op``,
+    ``present_cols`` (csv over ``payload`` names, null = full image),
+    ORDER_COLS, gtid, ts_sec.  ``value_of(col)`` yields each payload
+    column's value expression.  The multi-table path adapts arbitrary
+    primary keys onto this core by packing pk cells into the ``repo``
+    column (cdc.multi.table_upserts_minimal)."""
+    hint = F.broadcast if broadcast_winners else (lambda df: df)
     # the decoded stream feeds several sub-plans (moves, barriers, top,
     # melt) — persist one decode instead of re-decoding per sub-plan
     ev = good.withColumn("_ord", pack_ord()).persist()
@@ -380,11 +401,6 @@ def reduce_changes_minimal(events: DataFrame,
                    how="inner")
            .dropDuplicates(list(KEY_COLS))
            .select(*KEY_COLS, "op", *ORDER_COLS, "gtid", "ts_sec", "_ord"))
-
-    def value_of(c: str) -> F.Column:
-        if c in DATA_COLS:
-            return F.col(c)
-        return F.get_json_object("extra_json", f"$.{c}")
 
     entries = F.array(*[
         F.struct(F.lit(c).alias("c"), value_of(c).alias("v"),

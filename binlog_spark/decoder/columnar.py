@@ -456,7 +456,15 @@ def compile_event_reader(tme, present0: bytes, present1: bytes | None,
                     parts.append(repr(f"{head}{key}: ") + f" + v{i}")
                 expr = " + ".join(parts) + " + '}'"
         else:
-            expr = "[" + ", ".join(f"v{i}" for i in range(len(cols))) + "]"
+            # full-length array in TABLE_MAP ordinal order: columns absent
+            # from the image (MINIMAL partial images) hold None at their
+            # ordinal, so downstream element_at stays positionally stable
+            # (the presence bitmap rides separately — decoder.generic emits
+            # before_present/after_present)
+            pos_of = {o: i for i, o in enumerate(ords)}
+            cells = [f"v{pos_of[o]}" if o in pos_of else "None"
+                     for o in range(len(tme.columns))]
+            expr = "[" + ", ".join(cells) + "]"
         return lines + [f"{out_var}({expr})"]
 
     body = ["def _ev(b, pos, end):",

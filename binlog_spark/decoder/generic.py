@@ -47,6 +47,13 @@ VALS_SCHEMA = StructType([
     StructField("table_name", StringType(), True),
     StructField("before_vals", ArrayType(StringType()), True),
     StructField("after_vals", ArrayType(StringType()), True),
+    # columns-present maps for MINIMAL (partial) row images: one '0'/'1'
+    # char per TABLE_MAP ordinal, or NULL for a FULL image (the common
+    # case costs nothing and the is-full test is a null check).  The vals
+    # arrays stay full-length with None at absent ordinals; these strings
+    # disambiguate "absent from the image" from "present and NULL".
+    StructField("before_present", StringType(), True),
+    StructField("after_present", StringType(), True),
     StructField("gtid", StringType(), True),
     StructField("seq_in_tx", IntegerType(), False),
     StructField("log_file", StringType(), False),
@@ -78,6 +85,13 @@ def _image_json(names, values) -> str | None:
     return json.dumps(obj, sort_keys=True, default=str)
 
 
+def _present_str(bm: bytes, ncol: int) -> str | None:
+    """'0'/'1' per ordinal, or None for a full image (all bits set)."""
+    bits = "".join("1" if (bm[i >> 3] >> (i & 7)) & 1 else "0"
+                   for i in range(ncol))
+    return None if "0" not in bits else bits
+
+
 def _lenenc(b, pos):
     v = b[pos]
     if v < 0xFB:
@@ -103,8 +117,15 @@ def decode_span_generic(data: bytes, log_file: str, *,
     ex_after = ex["after_json" if mode == "json" else "after_vals"]
     tme_body_cache: dict[bytes, tuple] = {}
     tme_cache: dict[int, tuple] = {}
+    pres_cache: dict[tuple[bytes, int], str | None] = {}
     gtid = None
     seq = 0
+
+    def pres(bm: bytes, ncol: int) -> str | None:
+        key = (bm, ncol)
+        if key not in pres_cache:
+            pres_cache[key] = _present_str(bm, ncol)
+        return pres_cache[key]
     for fr, fde_now in iter_frames(data, has_magic=has_magic,
                                    verify_crc=verify_crc):
         t = fr.event_type
@@ -150,16 +171,6 @@ def decode_span_generic(data: bytes, log_file: str, *,
                 present1 = None
             op = ("I" if t in C.WRITE_ROWS_EVENTS
                   else "U" if is_update else "D")
-            if mode == "vals":
-                full = bytes([0xFF] * (ncol // 8)
-                             + ([(1 << (ncol % 8)) - 1] if ncol % 8 else []))
-                if present0 != full or (present1 is not None
-                                        and present1 != full):
-                    from ..mysql.decode import BinlogError
-                    raise BinlogError(
-                        "MINIMAL (partial) row images are not supported "
-                        "on the multi-table vals path; replay with FULL "
-                        "row images or the single-table minimal pipeline")
             read_ev = dec.event_reader(present0, present1, mode, op)
             if read_ev is None:
                 from ..mysql.decode import BinlogError
@@ -173,6 +184,14 @@ def decode_span_generic(data: bytes, log_file: str, *,
                 continue
             ex_before(befores if op != "I" else [None] * n)
             ex_after(afters if op != "D" else [None] * n)
+            if mode == "vals":
+                # image0 = before for U/D, after for I; image1 = U's after
+                p0 = pres(present0, ncol)
+                ex["before_present"](
+                    [p0 if op != "I" else None] * n)
+                ex["after_present"](
+                    [p0 if op == "I" else
+                     (pres(present1, ncol) if op == "U" else None)] * n)
             ex["op"]([op] * n)
             ex["table_schema"]([tme.schema] * n)
             ex["table_name"]([tme.table] * n)

@@ -243,13 +243,17 @@ class LakeTable:
         schema_cols = list(snap.get("schema") or (*KEY_COLS, *DATA_COLS))
         schema_types = dict(snap.get("schema_types") or {})
 
+        # key-move lineage columns: one per key column (single-table keys
+        # (repo, path) yield the historical base_repo/base_path names)
+        lineage_cols = tuple(f"base_{k}" for k in self.key_cols)
         # schema evolution: new columns in the batch widen the table schema
         # (their lake type comes from the upsert DataFrame's own dtype)
         new_cols = [c for c in upserts.columns
                     if c not in schema_cols and c not in
                     ("op", "before_repo", "before_path", "gtid", "ts_sec",
                      "log_file", "log_pos", "seq_in_tx", "extra_json",
-                     "bucket", "present_cols", "base_repo", "base_path")]
+                     "bucket", "present_cols", "base_repo", "base_path",
+                     *lineage_cols)]
         schema_cols += new_cols
         up_types = {f.name: f.dataType.simpleString()
                     for f in upserts.schema.fields}
@@ -281,7 +285,7 @@ class LakeTable:
         obs = Observation(f"merge-{commit_id}")
         n_parts = max(self.n_buckets // 2, 1)
 
-        extra_sel = [c for c in ("present_cols", "base_repo", "base_path")
+        extra_sel = [c for c in ("present_cols", *lineage_cols)
                      if c in upserts.columns]
         src = (up.select(*up_cols, *meta_cols, *extra_sel, "bucket")
                .observe(obs, F.count(F.lit(1)).alias("n"),
@@ -328,11 +332,11 @@ class LakeTable:
                                .parquet(*touched_files))
                 keys = list(self.key_cols)
                 non_key = [c for c in all_cols if c not in keys]
-                has_base = "base_repo" in extra_sel
+                has_base = all(b in extra_sel for b in lineage_cols)
                 s2 = staged.select(
                     *keys, F.col("present_cols").alias("_s_present"),
-                    *([F.col("base_repo").alias("_s_base_0"),
-                       F.col("base_path").alias("_s_base_1")]
+                    *([F.col(b).alias(f"_s_base_{i}")
+                       for i, b in enumerate(lineage_cols)]
                       if has_base else []),
                     *[F.col(c).alias(f"_s_{c}") for c in non_key])
                 # persisted tombstones never donate column values
@@ -348,8 +352,10 @@ class LakeTable:
                         *[F.col(k).alias(f"_b_key_{i}")
                           for i, k in enumerate(keys)],
                         *[F.col(c).alias(f"_ob_{c}") for c in non_key])
-                    cond = ((F.col("_s_base_0") == F.col("_b_key_0"))
-                            & (F.col("_s_base_1") == F.col("_b_key_1")))
+                    cond = None
+                    for i in range(len(keys)):
+                        eq = F.col(f"_s_base_{i}") == F.col(f"_b_key_{i}")
+                        cond = eq if cond is None else cond & eq
                     joined = joined.join(base, cond, "left")
                 staged_hit = F.col("_s_op").isNotNull()
                 pres_arr = F.split(F.col("_s_present"), ",")

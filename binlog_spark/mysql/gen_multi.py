@@ -72,7 +72,12 @@ def _move_key(table: str, row: tuple, uid: int) -> tuple:
 
 
 def generate_multi(out_dir: str, n_changes: int = 3000,
-                   seed: int = 11) -> dict:
+                   seed: int = 11, minimal_images: bool = False) -> dict:
+    """``minimal_images``: emit binlog_row_image=MINIMAL events — UPDATE
+    before-images carry the pk only and after-images only the CHANGED
+    columns (a key move whose payload didn't change carries just the new
+    key cells); DELETEs carry pk-only WHERE images.  Matches the subsets
+    /root/reference/rbr.go:283-303 surfaces."""
     rnd = random.Random(seed)
     cfg = GenConfig(n_changes=n_changes)
     w = BinlogWriter(out_dir, cfg, chunk_target=64 << 10,
@@ -97,6 +102,9 @@ def generate_multi(out_dir: str, n_changes: int = 3000,
         for _ in range(rnd.randrange(1, 4)):
             if emitted >= n_changes:
                 break
+            ncol = len(cols)
+            pk_bits = tuple(i in pk for i in range(ncol))
+
             roll = rnd.random()
             if not keys or roll < 0.5:
                 uid += 1
@@ -123,14 +131,27 @@ def generate_multi(out_dir: str, n_changes: int = 3000,
                 else:
                     after = _mutate(rnd, table, before)
                     live[table][k] = after
-                stmts.append((C.UPDATE_ROWS_EVENTv2, [after], [before]))
+                if minimal_images:
+                    changed = tuple(before[j] != after[j]
+                                    for j in range(ncol))
+                    stmts.append((
+                        C.UPDATE_ROWS_EVENTv2,
+                        [[v for v, c in zip(after, changed) if c]],
+                        [[before[j] for j in pk]],
+                        changed, pk_bits))
+                else:
+                    stmts.append((C.UPDATE_ROWS_EVENTv2, [after], [before]))
             else:
                 i = rnd.randrange(len(keys))
                 k = keys[i]
                 keys[i] = keys[-1]
                 keys.pop()
                 before = live[table].pop(k)
-                stmts.append((C.DELETE_ROWS_EVENTv2, [before], None))
+                if minimal_images:
+                    stmts.append((C.DELETE_ROWS_EVENTv2,
+                                  [[before[j] for j in pk]], None, pk_bits))
+                else:
+                    stmts.append((C.DELETE_ROWS_EVENTv2, [before], None))
             emitted += 1
         if stmts:
             w.write_transaction(sid, gno, stmts, cols, schema=DB,
@@ -197,6 +218,7 @@ def apply_multi(dump_dir: str) -> dict[tuple, dict[tuple, dict]]:
     independently of the generator's table definitions."""
     pk_names = {t: tuple(TABLES[t][0][i].name for i in TABLES[t][1])
                 for t in TABLES}
+    all_names = {t: [c.name for c in TABLES[t][0]] for t in TABLES}
     state: dict[tuple, dict[tuple, dict]] = {}
     for r in iter_change_records(dump_dir):
         cols = list(r.columns)
@@ -204,16 +226,26 @@ def apply_multi(dump_dir: str) -> dict[tuple, dict[tuple, dict]]:
         tkey = (r.table_schema, r.table_name)
         tbl = state.setdefault(tkey, {})
 
-        def key_of(img):
-            return tuple(render(img[cols.index(p)]) for p in pks)
-
         if r.op == "I":
-            tbl[key_of(r.after)] = dict(zip(cols, map(render, r.after)))
+            tbl[tuple(render(r.after[cols.index(p)]) for p in pks)] = \
+                dict(zip(cols, map(render, r.after)))
         elif r.op == "D":
-            tbl.pop(key_of(r.before), None)
+            # MINIMAL delete: r.columns names the pk-only WHERE image
+            tbl.pop(tuple(render(r.before[cols.index(p)]) for p in pks),
+                    None)
         else:
-            bk, ak = key_of(r.before), key_of(r.after)
+            bnames = list(r.before_columns) or cols
+            brow = dict(zip(bnames, map(render, r.before)))
+            arow = dict(zip(cols, map(render, r.after)))
+            bk = tuple(brow[p] for p in pks)
+            if r.partial:
+                # partial after-image PATCHES the row at the before-key;
+                # unchanged columns (incl. an unmoved pk) inherit
+                base = dict(tbl.get(bk) or brow)
+                base.update(arow)
+                arow = {c: base.get(c) for c in all_names[r.table_name]}
+            ak = tuple(arow[p] for p in pks)
             if bk != ak:
                 tbl.pop(bk, None)
-            tbl[ak] = dict(zip(cols, map(render, r.after)))
+            tbl[ak] = arow
     return state

@@ -189,15 +189,27 @@ def golden_paths(sf_dir: str) -> dict[str, str]:
     dm = f"/tmp/binlog_multi_v4_{sf}_{nm}"
     if not os.path.exists(os.path.join(dm, "manifest.json")):
         generate_multi(dm, n_changes=nm)
+    dmm = _multi_minimal_fixture(sf_dir)
     return {
         "state": os.path.join(dump, "golden_state.parquet"),
         "events": os.path.join(dump, "golden_events.parquet"),
         "statements": os.path.join(dump, "golden_statements.parquet"),
         "typed": os.path.join(dt, "golden_typed.parquet"),
         "multi": os.path.join(dm, "golden_multi.parquet"),
+        "multi_minimal": os.path.join(dmm, "golden_multi.parquet"),
         "minimal_state": os.path.join(_minimal_fixture(sf_dir),
                                       "golden_state.parquet"),
     }
+
+
+def _multi_minimal_fixture(sf_dir: str) -> str:
+    from ..mysql.gen_multi import generate_multi
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
+    n = _SF_MULTI.get(sf, 6000)
+    d = f"/tmp/binlog_multi_min_v1_{sf}_{n}"
+    if not os.path.exists(os.path.join(d, "manifest.json")):
+        generate_multi(d, n_changes=n, seed=13, minimal_images=True)
+    return d
 
 
 def binlog_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,6 +232,10 @@ def binlog_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake = f"{d}_lake"
     shutil.rmtree(lake, ignore_errors=True)
     tables = replay_generic(spark, d, lake, chunks_per_batch=16)
+    return _render_tables(spark, tables)
+
+
+def _render_tables(spark: SparkSession, tables: dict) -> DataFrame:
     out = None
     for (sch, tbl), t in sorted(tables.items()):
         pk = list(t.key_cols)
@@ -230,3 +246,22 @@ def binlog_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_json(F.struct(*cols)).alias("row_json"))
         out = df if out is None else out.unionByName(df)
     return out.orderBy("table_schema", "table_name", "pk_json")
+
+
+def binlog_multi_minimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table replay of a binlog_row_image=MINIMAL dump: partial
+    before/after images on arbitrary TABLE_MAP schemas routed through the
+    generic per-column reduction (cdc.multi.table_upserts_minimal) and
+    the patch-aware MERGE.  Oracle: the generator's live state
+    (golden_multi.parquet of the minimal fixture — generator-side
+    truth)."""
+    import shutil
+
+    from ..cdc.multi import replay_generic
+    from ..session import ship_package
+    ship_package(spark)
+    d = _multi_minimal_fixture(sf_dir)
+    lake = f"{d}_lake"
+    shutil.rmtree(lake, ignore_errors=True)
+    tables = replay_generic(spark, d, lake, chunks_per_batch=16)
+    return _render_tables(spark, tables)
