@@ -149,7 +149,14 @@ class LakeTable:
         current id).  A concurrent writer that advanced CURRENT since
         this operation read it raises CommitConflict — the caller
         re-reads and retries (the Iceberg commit model; single-writer
-        replay never hits this)."""
+        replay never hits this).
+
+        The check-then-act race (both writers read the same CURRENT,
+        both pass the parent check) is closed by the snapshot file
+        itself: v{sid}.json is linked into place with O_EXCL semantics
+        (os.link from a writer-private temp file), so exactly ONE writer
+        can create a given snapshot id — the loser gets EEXIST and
+        raises CommitConflict without touching CURRENT."""
         sid = snap["snapshot_id"]
         cur = self.current_snapshot_id()
         expected_parent = snap.get("parent")
@@ -158,13 +165,24 @@ class LakeTable:
                 f"snapshot v{sid} built on parent "
                 f"{expected_parent}, but CURRENT is v{cur} — concurrent "
                 "writer detected; re-read and retry")
-        tmp = os.path.join(self.snap_dir, f".v{sid}.json.tmp")
+        tmp = os.path.join(self.snap_dir,
+                           f".v{sid}.json.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp")
         dst = os.path.join(self.snap_dir, f"v{sid}.json")
         with open(tmp, "w") as f:
             json.dump(snap, f)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, dst)
+        try:
+            # atomic claim of the snapshot id: link fails with EEXIST if
+            # another writer committed v{sid} first (rename would
+            # silently clobber it)
+            os.link(tmp, dst)
+        except FileExistsError:
+            raise CommitConflict(
+                f"snapshot v{sid} already committed by a concurrent "
+                "writer — re-read and retry") from None
+        finally:
+            os.unlink(tmp)
         ptmp = os.path.join(self.root, ".CURRENT.tmp")
         with open(ptmp, "w") as f:
             f.write(f"v{sid}")

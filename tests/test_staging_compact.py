@@ -116,3 +116,59 @@ def test_concurrent_commit_conflict_detected(tmp_path):
     with _pytest.raises(CommitConflict):
         t._commit_snapshot(stale)
     assert t.snapshot()["batch_id"] == "w"
+
+
+def test_commit_race_same_snapshot_id(tmp_path, monkeypatch):
+    """The check-then-act RACE (both writers read the same CURRENT and
+    both pass the parent check): the snapshot file's exclusive-create
+    claim must fail the second writer instead of last-write-wins
+    clobbering the first commit."""
+    from binlog_spark.lake.table import CommitConflict, LakeTable
+    t = LakeTable(str(tmp_path / "race"), n_buckets=4,
+                  key_cols=("repo", "path"))
+    t.create()
+    base = t.snapshot()
+    t._commit_snapshot({**base, "snapshot_id": 1, "parent": 0,
+                        "batch_id": "w"})
+    # the loser read CURRENT before the winner's commit landed — stub the
+    # re-read so the parent check passes and only the O_EXCL claim stands
+    monkeypatch.setattr(LakeTable, "current_snapshot_id", lambda self: 0)
+    import pytest as _pytest
+    with _pytest.raises(CommitConflict):
+        t._commit_snapshot({**base, "snapshot_id": 1, "parent": 0,
+                            "batch_id": "loser"})
+    monkeypatch.undo()
+    assert t.snapshot()["batch_id"] == "w"
+
+
+def test_commit_race_parallel_writers(tmp_path):
+    """8 genuinely concurrent writers racing the same parent: exactly one
+    commits; CURRENT points at the winner's snapshot."""
+    import threading
+
+    from binlog_spark.lake.table import CommitConflict, LakeTable
+    t = LakeTable(str(tmp_path / "race8"), n_buckets=4,
+                  key_cols=("repo", "path"))
+    t.create()
+    base = t.snapshot()
+    results: list[str] = []
+    lock = threading.Lock()
+    start = threading.Barrier(8)
+
+    def writer(i: int) -> None:
+        start.wait()
+        try:
+            t._commit_snapshot({**base, "snapshot_id": 1, "parent": 0,
+                                "batch_id": f"w{i}"})
+            with lock:
+                results.append(f"w{i}")
+        except CommitConflict:
+            pass
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert len(results) == 1
+    assert t.snapshot()["batch_id"] == results[0]
