@@ -325,6 +325,46 @@ def _emit_cell(i: int, col, mode: str, env: dict) -> list[str]:
     if t == C.TYPE_DOUBLE:
         return body(f"v{i} = repr(_upf('<d', b, pos)[0]); pos += 8")
 
+    if t == C.TYPE_ENUM:
+        w = 1 if col.meta == 1 else 2
+        rd = "b[pos]" if w == 1 else "b[pos] | (b[pos + 1] << 8)"
+        if not as_json:
+            return body(f"v{i} = str({rd}); pos += {w}")
+        env[f"ev{i}"] = tuple(col.values or ())
+        return body(
+            f"u = {rd}; pos += {w}",
+            f"lb = _esc(ev{i}[u - 1]) if 0 < u <= {len(col.values or ())} "
+            f"else '\"\"'" if col.values else "lb = 'null'",
+            f"v{i} = '{{\"idx\": %d, \"label\": %s}}' % (u, lb)")
+
+    if t == C.TYPE_SET:
+        nb_ = col.meta
+        rd = ("b[pos]" if nb_ == 1 else
+              f"int.from_bytes(b[pos:pos+{nb_}], 'little')")
+        if not as_json:
+            return body(f"v{i} = str({rd}); pos += {nb_}")
+        env[f"sv{i}"] = tuple(col.values or ())
+        mem = (f"'[' + ', '.join(_esc(x) for j, x in enumerate(sv{i}) "
+               f"if u >> j & 1) + ']'" if col.values else "'null'")
+        return body(
+            f"u = {rd}; pos += {nb_}",
+            f"v{i} = '{{\"mask\": %d, \"members\": %s}}' % (u, {mem})")
+
+    if t in (C.TYPE_BLOB, C.TYPE_GEOMETRY):
+        lw = col.meta
+        read = (f"ln = b[pos]; pos += 1" if lw == 1 else
+                f"ln = int.from_bytes(b[pos:pos+{lw}], 'little'); "
+                f"pos += {lw}")
+        if col.charset in C.BINARY_CHARSETS:
+            val = "b[pos:pos+ln].hex()"
+            if as_json:
+                val = f"'{{\"$hex\": \"%s\"}}' % ({val})"
+        else:
+            val = "str(b[pos:pos+ln], 'utf-8', 'replace')"
+            if as_json:
+                val = f"_esc({val})"
+        return body(read, f"v{i} = {val}; pos += ln")
+
     if t == C.TYPE_NEWDECIMAL:
         precision, scale = col.meta & 0xFF, col.meta >> 8
         integral = precision - scale
