@@ -75,6 +75,17 @@ def decode_span_statements(data: bytes, log_file: str, *,
                                 verify_crc=verify_crc):
         t = fr.event_type
         b = fr.body
+        if _fde.binlog_version < 4 and t in (
+                C.QUERY_EVENT, C.INTVAR_EVENT, C.RAND_EVENT,
+                C.USER_VAR_EVENT):
+            # pre-v4 statement bodies use older post-header layouts
+            # (e.g. no status-vars block in QUERY) — fail loudly per
+            # TYPE rather than misparse; headers/framing still decode
+            from ..mysql.decode import BinlogError
+            raise BinlogError(
+                f"statement event type {t} in a v{_fde.binlog_version} "
+                "binlog uses a pre-v4 body layout; only v4 statement "
+                "bodies decode")
         if t == C.GTID_EVENT or t == C.ANONYMOUS_GTID_EVENT:
             cur = Cur(b)
             cur.int1()

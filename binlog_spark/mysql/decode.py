@@ -614,24 +614,62 @@ def infer_binlog_version(data: bytes | memoryview,
     return 3
 
 
+def _iter_frames_legacy(mv: memoryview, pos: int, ver: int
+                        ) -> Iterator[tuple[EventFrame, Fde]]:
+    """v1/v3 frame iteration (header layouts of
+    /root/reference/events.go:138-148): v1 (pre-4.0) headers are 13
+    bytes — timestamp(4) + type(1) + server_id(4) + event_size(4), no
+    log_pos/flags (next_pos is synthesized from the running offset); v3
+    (4.0/4.1) headers match v4's 19 bytes.  Neither version carries
+    checksums or a FORMAT_DESCRIPTION; START_EVENT_V3 declares the
+    binlog version + server version (the 56-byte body the inference
+    rule sizes against).  Per-TYPE decode beyond the header is the v4
+    surface: statement/rows bodies that predate v4 layouts surface as
+    their raw types for the caller to reject loudly, not misparse."""
+    hdr = 13 if ver == 1 else C.HEADER_SIZE
+    cur_fde = Fde(binlog_version=ver, checksum_len=0)
+    n = len(mv)
+    while pos + hdr <= n:
+        if ver == 1:
+            ts, typ, server_id, size = struct.unpack_from("<IBII", mv, pos)
+            next_pos, flags = pos + size, 0
+        else:
+            ts, typ = struct.unpack_from("<IB", mv, pos)
+            server_id, size, next_pos, flags = struct.unpack_from(
+                "<IIIH", mv, pos + 5)
+        if size < hdr or pos + size > n:
+            break  # partial trailing event
+        body = mv[pos + hdr:pos + size]
+        if typ == C.START_EVENT_V3 and len(body) >= 52:
+            cur_fde = Fde(binlog_version=struct.unpack_from("<H", body)[0]
+                          or ver,
+                          server_version=bytes(body[2:52])
+                          .split(b"\x00", 1)[0].decode("utf-8", "replace"),
+                          checksum_len=0)
+        yield EventFrame(ts, typ, server_id, size, next_pos, flags,
+                         body, True, pos), cur_fde
+        pos += size
+
+
 def iter_frames(data: bytes | memoryview, *, has_magic: bool = False,
                 fde: Fde | None = None, verify_crc: bool = True
                 ) -> Iterator[tuple[EventFrame, Fde]]:
     """Split a chunk into event frames (two-pass strategy from SURVEY §7:
     fixed-width header scan, then per-event bounded views).
 
-    File heads (``has_magic=True``) are version-checked: v1/v3 dumps use
-    13-byte headers / no FORMAT_DESCRIPTION and would silently misframe,
-    so they raise instead (the reference decodes them; here v4 — every
-    MySQL since 5.0 — is the supported surface)."""
+    File heads (``has_magic=True``) are version-checked
+    (infer_binlog_version, the reference's rule): v1/v3 dumps use 13-byte
+    headers / START_EVENT_V3 instead of a FORMAT_DESCRIPTION and route to
+    the legacy header iterator — mid-stream chunks without a head are
+    assumed v4 (pre-5.0 servers are never chunked by this engine's
+    stager)."""
     mv = memoryview(data)
     pos = 4 if has_magic else 0
     if has_magic and len(mv) >= pos + 13:
         ver = infer_binlog_version(mv, has_magic=True)
         if ver != 4:
-            raise BinlogError(
-                f"binlog format v{ver} (pre-5.0) is not supported; "
-                "only v4 dumps decode")
+            yield from _iter_frames_legacy(mv, pos, ver)
+            return
     if fde is None and not has_magic:
         # mid-file chunk with no FORMAT_DESCRIPTION to declare the
         # checksum algorithm: probe the first complete frame — if its

@@ -166,28 +166,46 @@ def test_golden_events_match_oracle_decode(fixture_dir):
 
 def test_binlog_version_inference(fixture_dir):
     """v4 classified from FORMAT_DESCRIPTION; v1/v3 (START_EVENT_V3
-    heads) classified by event size and rejected by the framer
-    (/root/reference/version.go:9-64 rule)."""
+    heads) classified by event size (/root/reference/version.go:9-64
+    rule) and routed to the legacy 13-/19-byte header iterator."""
     import struct
 
-    from binlog_spark.mysql.decode import (BinlogError,
-                                           infer_binlog_version,
+    from binlog_spark.mysql.decode import (infer_binlog_version,
                                            iter_frames)
     name = oracle.list_files(fixture_dir)[0]
     data = open(os.path.join(fixture_dir, name), "rb").read()
     assert infer_binlog_version(data) == 4
 
-    def fake_head(event_type, size):
-        hdr = struct.pack("<IBIIIH", 0, event_type, 1, size, 4 + size, 0)
-        return C.MAGIC + hdr + b"\x00" * (size - 19)
-
-    v3 = fake_head(C.START_EVENT_V3, 75 + 19)
-    v1 = fake_head(C.START_EVENT_V3, 69)
+    start_body = (struct.pack("<H", 3) + b"4.1.22-log".ljust(50, b"\x00")
+                  + struct.pack("<I", 0))
+    v3_hdr = struct.pack("<IBIIIH", 7, C.START_EVENT_V3, 1,
+                         19 + len(start_body), 4 + 19 + len(start_body), 0)
+    stop3 = struct.pack("<IBIIIH", 8, 0x03, 1, 19, 0, 0)  # STOP_EVENT
+    v3 = C.MAGIC + v3_hdr + start_body + stop3
     assert infer_binlog_version(v3) == 3
+
+    body1 = (struct.pack("<H", 1) + b"3.23.57".ljust(50, b"\x00")
+             + struct.pack("<I", 0))
+    v1_hdr = struct.pack("<IBII", 5, C.START_EVENT_V3, 1, 13 + len(body1))
+    stop1 = struct.pack("<IBII", 6, 0x03, 1, 13)
+    v1 = C.MAGIC + v1_hdr + body1 + stop1
     assert infer_binlog_version(v1) == 1
-    for bad in (v3, v1):
-        with pytest.raises(BinlogError):
-            list(iter_frames(bad, has_magic=True))
+
+    # v3: 19-byte headers, no checksum; START declares the server version
+    frames = list(iter_frames(v3, has_magic=True))
+    assert [f.event_type for f, _ in frames] == [C.START_EVENT_V3, 0x03]
+    assert frames[0][1].binlog_version == 3
+    assert frames[0][1].server_version == "4.1.22-log"
+    assert frames[0][1].checksum_len == 0
+    assert frames[1][0].timestamp == 8
+
+    # v1: 13-byte headers (no log_pos/flags — next_pos synthesized)
+    frames = list(iter_frames(v1, has_magic=True))
+    assert [f.event_type for f, _ in frames] == [C.START_EVENT_V3, 0x03]
+    assert frames[0][1].binlog_version == 1
+    assert frames[0][1].server_version == "3.23.57"
+    assert frames[1][0].timestamp == 6
+    assert frames[0][0].next_pos == 4 + 13 + len(body1)
 
 
 def test_checksum_off_dump_decodes(tmp_path):
