@@ -92,6 +92,12 @@ def main() -> None:
         multi_changes / timings["binlog_multi_replay"], 1)
     shutil.rmtree(multi_lake, ignore_errors=True)
 
+    # --- MINIMAL row images (per-column reduction) ---
+    run("binlog_minimal_replay",
+        lambda: binlog_demo.binlog_minimal_state(spark, sf_dir).count())
+    run("binlog_multi_minimal",
+        lambda: binlog_demo.binlog_multi_minimal(spark, sf_dir).count())
+
     run("binlog_typed_decode",
         lambda: binlog_demo.binlog_typed_decode(spark, sf_dir).count())
     run("binlog_statements",

@@ -285,6 +285,15 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
         F.lag("m_ord").over(
             Window.partitionBy("f_r", "f_p").orderBy("m_ord")),
         F.lit(-1)))
+    # truncate the logical plan at the edge set (small: one row per
+    # key-moving update).  The closure loop below references it 7×, and
+    # each reference would otherwise embed the whole decode subtree —
+    # Catalyst ANALYSIS of that tree was costing multiples of the
+    # execution itself (driver-side, unparallelizable).  Lazy local
+    # checkpoint: shallow plan now, blocks materialize with the first
+    # action and are reclaimed by the ContextCleaner when the batch's
+    # DataFrames go out of scope.
+    edges = edges.localCheckpoint(eager=False)
     # terminal closure by TIME-CONSTRAINED edge composition: a chain may
     # only continue through the target key's first move-out AFTER the
     # arrival (h_lo < in_ord < h_m) — without the window check, a later
@@ -378,6 +387,13 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
     ev = ev.withColumn(
         "_eff", (pos * F.lit("9223372036854775808").cast("decimal(20,0)")
                  + F.col("_ord")).cast("decimal(38,0)"))
+    # second plan truncation, at the remapped/classified stream: the
+    # barrier set, winner search, melt and top sub-plans reference this
+    # ~6× — without the cut each reference re-embeds decode+remap into
+    # the analyzed tree (the persist above caches EXECUTION, not plan
+    # shape).  Lazy: the first downstream action materializes it once
+    # off the persisted decode.
+    ev = ev.localCheckpoint(eager=False)
     alive = ev.filter(~F.col("_dead"))
 
     # origin per final key: the chain start of the LATEST arrival (an
