@@ -163,13 +163,15 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 20,
     the largest N→4N step that stays on distinct physical cores (a
     multi-machine cluster never shares pipelines between "executors").
     2→8 is recorded as the secondary pair.  Methodology against the
-    host's phantom external load (BENCH.md): wait for loadavg quiet
-    before every sample, measure each run's own pre-JVM ext_load, RETRY
-    samples taken under load (up to 2 extra tries), and take the best
-    quiet sample per config — min-wall is the standard noise-robust
-    estimator for a deterministic job on a shared machine.  CPU-per-event
-    (process-tree) is reported next to wall: flat CPU/event across
-    configs proves no per-core work is added as parallelism quadruples."""
+    host's phantom external load (BENCH.md): gate every sample on a
+    MEASURED /proc/stat busy-core delta (< 0.75 external cores) before
+    AND after the run — the 1-min loadavg both lags our own exited runs
+    and under-reports freshly-arrived load — retry contaminated samples
+    (up to 2 extra tries), and take the best quiet sample per config;
+    min-wall is the standard noise-robust estimator for a deterministic
+    job on a shared machine.  CPU-per-event (process-tree) is reported
+    next to wall: flat CPU/event across configs proves no per-core work
+    is added as parallelism quadruples."""
     import time as _t
 
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -186,28 +188,56 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 20,
     n_changes = read_manifest(dump)["n_changes"]
     ev = n_changes * replicate
 
-    def wait_quiet(threshold: float = 2.0, timeout: int = 300) -> None:
+    def ext_busy_cores(interval: float = 2.0) -> float:
+        """ACTUAL external CPU right now, as busy cores, from a
+        /proc/stat delta.  The 1-min loadavg both LAGS (our own
+        just-exited run keeps it high for a minute) and under-reports a
+        freshly-arrived external load — round-3 lesson: samples gated
+        on loadavg < 2 still carried ~2 cores of live phantom load and
+        cost +50% CPU/event at the 16-core config, reading as a fake
+        scaling collapse.  Between our runs nothing of ours executes,
+        so total non-idle jiffies ARE the external load."""
+        def snap():
+            vals = list(map(int, open("/proc/stat").readline().split()[1:]))
+            return sum(vals), vals[3] + vals[4]  # total, idle+iowait
+        t0, i0 = snap()
+        _t.sleep(interval)
+        t1, i1 = snap()
+        total, idle = t1 - t0, i1 - i0
+        ncpu = os.cpu_count() or 1
+        return 0.0 if total <= 0 else ncpu * (1 - idle / total)
+
+    QUIET = 0.75  # external busy cores admitted into a sample
+
+    def wait_quiet(timeout: int = 240) -> float:
         t0 = _t.time()
-        while _t.time() - t0 < timeout and os.getloadavg()[0] >= threshold:
-            _t.sleep(5)
+        busy = ext_busy_cores()
+        while _t.time() - t0 < timeout and busy >= QUIET:
+            _t.sleep(3)
+            busy = ext_busy_cores()
+        return busy
 
     configs = sorted({c for p in pairs for c in p})
     samples: dict[int, list] = {c: [] for c in configs}
     # 2 base samples per config, interleaved so slow load drift hits all
-    # configs alike; a sample taken under external load (ext_load ≥ 2 at
-    # JVM start) is retried up to 2 extra times
-    QUIET = 2.0
+    # configs alike.  The pre-run gate can't see load that ARRIVES
+    # mid-run, so each sample is re-checked after the run and retried
+    # (up to 2 extra times) if external load crept in; a pre-run wait
+    # that timed out still loaded just records its honest ext_busy —
+    # retrying would wait out the same load again.
     for rnd in range(2):
         for c in configs:
             for attempt in range(3):
-                wait_quiet()
+                busy = wait_quiet()
                 r = run_config(dump, n_changes, c, replicate)
+                post = ext_busy_cores()
+                r["pre_busy_cores"] = round(max(busy, post), 2)
                 samples[c].append(r)
-                if r["ext_load"] < QUIET:
+                if busy >= QUIET or post < QUIET:
                     break
 
     def best(c: int) -> dict:
-        quiet = [r for r in samples[c] if r["ext_load"] < QUIET]
+        quiet = [r for r in samples[c] if r["pre_busy_cores"] < QUIET]
         return min(quiet or samples[c], key=lambda r: r["wall_sec"])
 
     out: dict = {"scale_events": ev,
@@ -217,6 +247,7 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 20,
         out[f"scale_ev_per_sec_c{c}"] = round(ev / b["wall_sec"], 1)
         out[f"cpu_us_per_event_c{c}"] = round(b["cpu_us_per_event"], 2)
         out[f"ext_load_c{c}"] = round(b["ext_load"], 1)
+        out[f"ext_busy_c{c}"] = b["pre_busy_cores"]
     for lo, hi in pairs:
         blo, bhi = best(lo), best(hi)
         out[f"scaling_efficiency_{lo}_to_{hi}"] = round(
