@@ -145,17 +145,32 @@ def main() -> None:
             max_file_bytes=256 << 20), chunk_target=4 << 20)
     n_events = read_manifest(dump)["n_changes"]
 
-    def wait_quiet(threshold: float = 2.0, timeout: int = 240) -> float:
-        """The sandbox shares hardware with phantom external load; wait
-        for the 1-min loadavg to decay before each measurement."""
+    def ext_busy_cores(interval: float = 2.0) -> float:
+        """Actual external CPU right now (busy cores) from a /proc/stat
+        delta — the 1-min loadavg lags our own exited runs and
+        under-reports fresh load (see bench.py's scaling pair)."""
+        import time as _t
+
+        def snap():
+            vals = list(map(int, open("/proc/stat").readline().split()[1:]))
+            return sum(vals), vals[3] + vals[4]
+        t0, i0 = snap()
+        _t.sleep(interval)
+        t1, i1 = snap()
+        total, idle = t1 - t0, i1 - i0
+        ncpu = os.cpu_count() or 1
+        return 0.0 if total <= 0 else ncpu * (1 - idle / total)
+
+    def wait_quiet(threshold: float = 0.75, timeout: int = 240) -> float:
+        """Wait for measured external CPU to drop below ``threshold``
+        busy cores before each measurement."""
         import time as _t
         t0 = _t.time()
-        while _t.time() - t0 < timeout:
-            load = os.getloadavg()[0]
-            if load < threshold:
-                return load
-            _t.sleep(10)
-        return os.getloadavg()[0]
+        busy = ext_busy_cores()
+        while _t.time() - t0 < timeout and busy >= threshold:
+            _t.sleep(5)
+            busy = ext_busy_cores()
+        return busy
 
     results = []
     for cores in cores_list:
