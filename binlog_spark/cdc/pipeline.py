@@ -444,7 +444,9 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
                .agg(F.first("_val").alias("v"),
                     F.count(F.lit(1)).alias("n")))
 
-    out = top.join(pivoted, on=list(KEY_COLS), how="left") \
+    # pivoted is keys × payload-columns — the same size class as the
+    # winner sets, so it rides the same broadcast policy
+    out = top.join(hint(pivoted), on=list(KEY_COLS), how="left") \
         .join(hint(origin), on=list(KEY_COLS), how="left")
     resolved_csv = F.array_join(F.filter(F.array(*[
         F.when(F.coalesce(F.col(f"{c}_n"), F.lit(0)) >= 1, F.lit(c))
