@@ -51,54 +51,74 @@ _REGISTRY_SCHEMA = StructType([
 ])
 
 
-def _scan_spans(batches):
-    """mapInArrow worker: chunk spans → one row per distinct TABLE_MAP."""
-    import pyarrow as pa
-
+def _registry_rows(spans):
+    """One row per distinct TABLE_MAP across (data, is_head) byte spans."""
     from .. import constants as C
     from ..mysql.decode import Cur, iter_frames, parse_table_map
+    rows: dict[tuple, tuple] = {}
+    seen: set[bytes] = set()
+    for data, is_head in spans:
+        for fr, _ in iter_frames(data, has_magic=is_head,
+                                 verify_crc=False):
+            if fr.event_type != C.TABLE_MAP_EVENT:
+                continue
+            key = bytes(fr.body)
+            if key in seen:
+                continue
+            seen.add(key)
+            tme = parse_table_map(Cur(key))
+            names = [c.name or f"@{i}"
+                     for i, c in enumerate(tme.columns)]
+            pk = [names[i] for i in tme.pk if i < len(names)]
+            types = [[c.type, c.meta, int(c.unsigned), c.charset]
+                     for c in tme.columns]
+            rows[(tme.schema, tme.table, len(names))] = (
+                tme.schema, tme.table, json.dumps(names),
+                json.dumps(pk), json.dumps(types), len(names))
+    return rows
+
+
+def _registry_batch(rows):
+    import pyarrow as pa
+    cols = list(zip(*rows.values()))
+    return pa.RecordBatch.from_arrays(
+        [pa.array(cols[0], pa.string()), pa.array(cols[1], pa.string()),
+         pa.array(cols[2], pa.string()), pa.array(cols[3], pa.string()),
+         pa.array(cols[4], pa.string()), pa.array(cols[5], pa.int32())],
+        names=[f.name for f in _REGISTRY_SCHEMA.fields])
+
+
+def _scan_spans(batches):
+    """mapInArrow worker: chunk spans → one row per distinct TABLE_MAP."""
     for rb in batches:
         d = rb.to_pydict()
-        rows: dict[tuple, tuple] = {}
-        for dump_dir, log_file, off, ln in zip(
-                d["dump_dir"], d["log_file"], d["chunk_off"], d["chunk_len"]):
-            with open(os.path.join(dump_dir, log_file), "rb") as f:
-                f.seek(off)
-                data = f.read(ln)
-            seen: set[bytes] = set()
-            for fr, _ in iter_frames(data, has_magic=off == 0,
-                                     verify_crc=False):
-                if fr.event_type != C.TABLE_MAP_EVENT:
-                    continue
-                key = bytes(fr.body)
-                if key in seen:
-                    continue
-                seen.add(key)
-                tme = parse_table_map(Cur(key))
-                names = [c.name or f"@{i}"
-                         for i, c in enumerate(tme.columns)]
-                pk = [names[i] for i in tme.pk if i < len(names)]
-                types = [[c.type, c.meta, int(c.unsigned), c.charset]
-                         for c in tme.columns]
-                rows[(tme.schema, tme.table, len(names))] = (
-                    tme.schema, tme.table, json.dumps(names),
-                    json.dumps(pk), json.dumps(types), len(names))
+
+        def gen():
+            for dump_dir, log_file, off, ln in zip(
+                    d["dump_dir"], d["log_file"], d["chunk_off"],
+                    d["chunk_len"]):
+                with open(os.path.join(dump_dir, log_file), "rb") as f:
+                    f.seek(off)
+                    yield f.read(ln), off == 0
+
+        rows = _registry_rows(gen())
         if rows:
-            cols = list(zip(*rows.values()))
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(cols[0], pa.string()), pa.array(cols[1], pa.string()),
-                 pa.array(cols[2], pa.string()), pa.array(cols[3], pa.string()),
-                 pa.array(cols[4], pa.string()), pa.array(cols[5], pa.int32())],
-                names=[f.name for f in _REGISTRY_SCHEMA.fields])
+            yield _registry_batch(rows)
 
 
-def scan_table_registry(spark: SparkSession, chunks: DataFrame) -> dict:
-    """Discover every table in the dump:
-    {(schema, table): {columns, pk, types}}.
+def _scan_blobs(batches):
+    """mapInArrow worker: raw file blobs → one row per distinct TABLE_MAP
+    (the streaming micro-batch variant — bytes already in the row)."""
+    for rb in batches:
+        d = rb.to_pydict()
+        rows = _registry_rows(
+            (data, off == 0)
+            for off, data in zip(d["chunk_off"], d["data"]))
+        if rows:
+            yield _registry_batch(rows)
 
-    Distributed; column additions are monotonic (SURVEY §1.2) so the
-    widest TABLE_MAP per table carries its newest schema."""
-    rows = chunks.mapInArrow(_scan_spans, _REGISTRY_SCHEMA).collect()
+
+def _fold_registry(rows) -> dict:
     reg: dict[tuple, dict] = {}
     for r in rows:
         k = (r.table_schema, r.table_name)
@@ -108,6 +128,25 @@ def scan_table_registry(spark: SparkSession, chunks: DataFrame) -> dict:
                       "pk": json.loads(r.pk_json),
                       "types": json.loads(r.types_json)}
     return reg
+
+
+def scan_table_registry(spark: SparkSession, chunks: DataFrame) -> dict:
+    """Discover every table in the dump:
+    {(schema, table): {columns, pk, types}}.
+
+    Distributed; column additions are monotonic (SURVEY §1.2) so the
+    widest TABLE_MAP per table carries its newest schema."""
+    return _fold_registry(
+        chunks.mapInArrow(_scan_spans, _REGISTRY_SCHEMA).collect())
+
+
+def scan_table_registry_blobs(blobs: DataFrame) -> dict:
+    """Registry discovery over a STREAMING micro-batch of raw file blobs
+    (columns chunk_off, data): a small distributed frame scan — rows are
+    length-skipped, only TABLE_MAPs parse."""
+    return _fold_registry(
+        blobs.select("chunk_off", "data")
+        .mapInArrow(_scan_blobs, _REGISTRY_SCHEMA).collect())
 
 
 def spark_type_for(mysql_type: int, meta: int, unsigned: int) -> str:
@@ -327,6 +366,87 @@ def table_root(lake_root: str, schema: str, table: str) -> str:
     return os.path.join(lake_root, f"{schema}.{table}")
 
 
+def ensure_tables(lake_root: str, registry: dict, *,
+                  n_buckets: int = 8) -> dict[tuple, LakeTable]:
+    """One typed lake table per registry entry (create = idempotent; a
+    table discovered mid-stream is created on first appearance)."""
+    tables: dict[tuple, LakeTable] = {}
+    for (sch, tbl), info in sorted(registry.items()):
+        pk = info["pk"] or info["columns"][:1]  # keyless: first column
+        t = LakeTable(table_root(lake_root, sch, tbl), n_buckets=n_buckets,
+                      key_cols=tuple(pk))
+        types = {c: spark_type_for(ty[0], ty[1], ty[2])
+                 for c, ty in zip(info["columns"], info["types"])}
+        t.create(schema_cols=list(pk) +
+                 [c for c in info["columns"] if c not in pk],
+                 schema_types=types)
+        tables[(sch, tbl)] = t
+    return tables
+
+
+def apply_staged_batch(spark: SparkSession, staging: str, registry: dict,
+                       tables: dict, bid: str, *,
+                       offsets: dict | None = None,
+                       broadcast_winners: bool = True) -> None:
+    """Merge one staged batch (parquet partitioned by schema/table) into
+    every table — shared by batch replay and the streaming tail.
+
+    Tables with MINIMAL (partial) row images in this batch route to the
+    per-column reduction; FULL tables keep the cheap row-level winner
+    search.  One column-pruned scan of the staged parquet's two presence
+    strings decides — not a per-table probe job."""
+    partial_tables = {
+        (r.table_schema, r.table_name)
+        for r in (spark.read.parquet(staging)
+                  .where(F.col("after_present").isNotNull()
+                         | F.col("before_present").isNotNull())
+                  .select("table_schema", "table_name")
+                  .distinct().collect())}
+
+    def apply_table(item) -> None:
+        (sch, tbl), t = item
+        if bid in t.committed_batch_ids():
+            return
+        info = registry[(sch, tbl)]
+        part = os.path.join(staging, f"table_schema={sch}",
+                            f"table_name={tbl}")
+        if not os.path.isdir(part):
+            types = {c: spark_type_for(ty[0], ty[1], ty[2])
+                     for c, ty in zip(info["columns"], info["types"])}
+            t.merge(spark, spark.range(0).selectExpr(
+                *[f"cast(null as {types.get(c, 'string')}) as `{c}`"
+                  for c in t.key_cols]).filter("false"),
+                batch_id=bid)
+            return
+        pk = list(t.key_cols)
+        if (sch, tbl) in partial_tables:
+            from .pipeline import release_minimal
+            up = table_upserts_minimal(
+                spark.read.parquet(part), info["columns"], pk,
+                info["types"], broadcast_winners=broadcast_winners)
+            t.merge(spark, up, batch_id=bid, offsets=offsets)
+            release_minimal(up)
+            return
+        up = table_upserts(spark.read.parquet(part),
+                           info["columns"], pk, info["types"],
+                           broadcast_winners=broadcast_winners)
+        t.merge(spark, up, batch_id=bid, offsets=offsets)
+
+    # per-table applies are independent (own lake roots, own
+    # snapshot logs) — run them as CONCURRENT Spark jobs so a
+    # many-table stream isn't wall-clocked by a serial merge loop;
+    # each table's own merges stay ordered (one worker per table
+    # per batch, batches sequential)
+    from concurrent.futures import ThreadPoolExecutor
+    n_workers = min(8, max(1, len(tables)))
+    if n_workers > 1:
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            list(pool.map(apply_table, sorted(tables.items())))
+    else:
+        for item in sorted(tables.items()):
+            apply_table(item)
+
+
 def replay_generic(spark: SparkSession, dump_dir: str, lake_root: str, *,
                    chunks_per_batch: int | None = None,
                    partitions: int | None = None,
@@ -344,17 +464,7 @@ def replay_generic(spark: SparkSession, dump_dir: str, lake_root: str, *,
         all_chunks, "dump_dir string, log_file string,"
         " chunk_off long, chunk_len long")
     registry = scan_table_registry(spark, cdf_all)
-    tables: dict[tuple, LakeTable] = {}
-    for (sch, tbl), info in sorted(registry.items()):
-        pk = info["pk"] or info["columns"][:1]  # keyless: first column
-        t = LakeTable(table_root(lake_root, sch, tbl), n_buckets=n_buckets,
-                      key_cols=tuple(pk))
-        types = {c: spark_type_for(ty[0], ty[1], ty[2])
-                 for c, ty in zip(info["columns"], info["types"])}
-        t.create(schema_cols=list(pk) +
-                 [c for c in info["columns"] if c not in pk],
-                 schema_types=types)
-        tables[(sch, tbl)] = t
+    tables = ensure_tables(lake_root, registry, n_buckets=n_buckets)
 
     for i, spans in enumerate(plan_batches(all_chunks, chunks_per_batch)):
         bid = _batch_id(dump_dir, i, [s[1:] for s in spans])
@@ -371,63 +481,9 @@ def replay_generic(spark: SparkSession, dump_dir: str, lake_root: str, *,
          .mode("overwrite").parquet(staging))
         last_file = max(s[1] for s in spans)
         last_end = max(s[2] + s[3] for s in spans if s[1] == last_file)
-        # tables with MINIMAL (partial) row images in this batch route to
-        # the per-column reduction; FULL tables keep the cheap row-level
-        # winner search.  One column-pruned scan of the staged parquet's
-        # two presence strings — not a per-table probe job.
-        partial_tables = {
-            (r.table_schema, r.table_name)
-            for r in (spark.read.parquet(staging)
-                      .where(F.col("after_present").isNotNull()
-                             | F.col("before_present").isNotNull())
-                      .select("table_schema", "table_name")
-                      .distinct().collect())}
-
-        def apply_table(item) -> None:
-            (sch, tbl), t = item
-            if bid in t.committed_batch_ids():
-                return
-            info = registry[(sch, tbl)]
-            part = os.path.join(staging, f"table_schema={sch}",
-                                f"table_name={tbl}")
-            if not os.path.isdir(part):
-                types = {c: spark_type_for(ty[0], ty[1], ty[2])
-                         for c, ty in zip(info["columns"], info["types"])}
-                t.merge(spark, spark.range(0).selectExpr(
-                    *[f"cast(null as {types.get(c, 'string')}) as `{c}`"
-                      for c in t.key_cols]).filter("false"),
-                    batch_id=bid)
-                return
-            pk = list(t.key_cols)
-            if (sch, tbl) in partial_tables:
-                from .pipeline import release_minimal
-                up = table_upserts_minimal(
-                    spark.read.parquet(part), info["columns"], pk,
-                    info["types"], broadcast_winners=broadcast_winners)
-                t.merge(spark, up, batch_id=bid,
-                        offsets={"log_file": last_file,
-                                 "next_pos": int(last_end)})
-                release_minimal(up)
-                return
-            up = table_upserts(spark.read.parquet(part),
-                               info["columns"], pk, info["types"],
-                               broadcast_winners=broadcast_winners)
-            t.merge(spark, up, batch_id=bid,
-                    offsets={"log_file": last_file,
-                             "next_pos": int(last_end)})
-
-        # per-table applies are independent (own lake roots, own
-        # snapshot logs) — run them as CONCURRENT Spark jobs so a
-        # many-table stream isn't wall-clocked by a serial merge loop;
-        # each table's own merges stay ordered (one worker per table
-        # per batch, batches sequential)
-        from concurrent.futures import ThreadPoolExecutor
-        n_workers = min(8, max(1, len(tables)))
-        if n_workers > 1:
-            with ThreadPoolExecutor(max_workers=n_workers) as pool:
-                list(pool.map(apply_table, sorted(tables.items())))
-        else:
-            for item in sorted(tables.items()):
-                apply_table(item)
+        apply_staged_batch(spark, staging, registry, tables, bid,
+                           offsets={"log_file": last_file,
+                                    "next_pos": int(last_end)},
+                           broadcast_winners=broadcast_winners)
         shutil.rmtree(staging, ignore_errors=True)
     return tables

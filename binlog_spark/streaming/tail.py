@@ -111,3 +111,60 @@ def stream_apply(spark: SparkSession, dump_dir: str, table_root: str,
     else:
         writer = writer.trigger(processingTime=processing_interval)
     return writer.start()
+
+
+def stream_apply_multi(spark: SparkSession, dump_dir: str, lake_root: str,
+                       checkpoint_dir: str, *,
+                       n_buckets: int = 8,
+                       available_now: bool = True,
+                       processing_interval: str = "5 seconds",
+                       broadcast_winners: bool = True,
+                       on_batch: Callable[[int, dict], None] | None = None):
+    """Tail a MULTI-TABLE staging dir: one stream demultiplexed into one
+    lake table per source table (the streaming counterpart of
+    cdc.multi.replay_generic — the reference leaves this demux to its
+    caller, /root/reference/doc.go:47-56).
+
+    Per micro-batch: registry discovery from the batch's TABLE_MAPs (a
+    table first seen mid-stream gets its lake table created then), ONE
+    generic decode staged partitioned by (schema, table), then the same
+    per-table routed apply as batch replay — FULL tables take the
+    row-level winner search, tables with MINIMAL partial images the
+    per-column reduction.  Exactly-once is double-keyed per table:
+    streaming checkpoint at the source, batch-id idempotence at each
+    table's snapshot log.  Returns the StreamingQuery."""
+    import os as _os
+    import shutil as _shutil
+
+    from ..cdc.multi import (apply_staged_batch, ensure_tables,
+                             scan_table_registry_blobs)
+    from ..decoder.generic import decode_changes_vals
+
+    blobs = stream_blobs(spark, dump_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        registry = scan_table_registry_blobs(batch_df)
+        if not registry:
+            return
+        tables = ensure_tables(lake_root, registry, n_buckets=n_buckets)
+        bid = f"stream-{checkpoint_dir}-{batch_id}"
+        staging = _os.path.join(lake_root, f".stream-batch-{batch_id}")
+        events = decode_changes_vals(batch_df)
+        (events.filter(F.col("crc_ok"))
+         .write.partitionBy("table_schema", "table_name")
+         .mode("overwrite").parquet(staging))
+        apply_staged_batch(spark, staging, registry, tables, bid,
+                           broadcast_winners=broadcast_winners)
+        _shutil.rmtree(staging, ignore_errors=True)
+        if on_batch is not None:
+            on_batch(batch_id, {t: tbl.current_snapshot_id()
+                                for t, tbl in tables.items()})
+
+    writer = (blobs.writeStream
+              .foreachBatch(apply_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_interval)
+    return writer.start()
