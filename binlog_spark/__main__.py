@@ -103,6 +103,20 @@ def cmd_replay_multi(args) -> None:
     print(json.dumps(out))
 
 
+def cmd_stream_multi(args) -> None:
+    from .streaming.tail import stream_apply_multi
+    spark = _spark(args)
+    q = stream_apply_multi(spark, args.dir, args.lake, args.checkpoint,
+                           n_buckets=args.buckets,
+                           available_now=not args.follow,
+                           on_batch=lambda b, snaps: print(
+                               json.dumps({"batch": b, "snapshots": {
+                                   f"{s}.{t}": sid
+                                   for (s, t), sid in snaps.items()}}),
+                               flush=True))
+    q.awaitTermination()
+
+
 def cmd_stream(args) -> None:
     from .streaming.tail import stream_apply
     spark = _spark(args)
@@ -198,6 +212,17 @@ def main(argv: list[str] | None = None) -> None:
     st.add_argument("--follow", action="store_true",
                     help="keep tailing (default: drain available and stop)")
     st.set_defaults(fn=cmd_stream)
+
+    sm = sub.add_parser("stream-multi",
+                        help="stream staging dir -> one lake table per"
+                             " source table")
+    sm.add_argument("dir")
+    sm.add_argument("lake")
+    sm.add_argument("checkpoint")
+    sm.add_argument("--buckets", type=int, default=8)
+    sm.add_argument("--follow", action="store_true",
+                    help="keep tailing (default: drain available and stop)")
+    sm.set_defaults(fn=cmd_stream_multi)
 
     q = sub.add_parser("status", help="lake offsets + snapshot info")
     q.add_argument("lake")
