@@ -7,7 +7,8 @@ Table `lake.typed_rows` — one column per interesting MySQL type family:
     id INT, n_small SMALLINT UNSIGNED, big BIGINT, amount DECIMAL(12,4),
     ratio DOUBLE, frac FLOAT, flag TINYINT, name VARCHAR(40), body TEXT,
     kind ENUM(...), tags SET(...), created DATETIME(3), updated
-    TIMESTAMP(0), day DATE, dur TIME(3), yr YEAR, bits BIT(12)
+    TIMESTAMP(0), day DATE, dur TIME(3), yr YEAR, bits BIT(12),
+    doc JSON (generator-encoded binary JSON, r3)
 """
 
 from __future__ import annotations
@@ -42,6 +43,7 @@ TYPED_COLUMNS = [
     E.ColumnDef("dur", C.TYPE_TIME2, meta=3),
     E.ColumnDef("yr", C.TYPE_YEAR),
     E.ColumnDef("bits", C.TYPE_BIT, meta=(1 << 8) | 4),  # 12 bits
+    E.ColumnDef("doc", C.TYPE_JSON, meta=4),
 ]
 
 TABLE = "typed_rows"
@@ -73,7 +75,25 @@ def _row(rnd: random.Random, rid: int) -> tuple:
         -micros if neg else micros,
         0 if rnd.random() < 0.05 else 1901 + rnd.randint(0, 254),
         rnd.getrandbits(12),
+        _doc(rnd, rid),
     )
+
+
+def _doc(rnd: random.Random, rid: int) -> bytes:
+    """A small random JSON document, ENCODED to MySQL binary JSON by the
+    generator-side encoder (jsonb.encode_jsonb — the server's role); the
+    decoders render it back to compact JSON text."""
+    from .jsonb import encode_jsonb
+    doc = {
+        "id": rid,
+        "tags": [rnd.choice(KINDS) for _ in range(rnd.randint(0, 3))],
+        "score": round(rnd.random() * 100, 3),
+        "meta": {"active": rnd.random() < 0.5,
+                 "note": None if rnd.random() < 0.3
+                 else f"n-{rnd.randrange(100)}"},
+        "big": rnd.randint(-(1 << 40), 1 << 40),
+    }
+    return encode_jsonb(doc)
 
 
 def generate_typed(out_dir: str, n_changes: int = 2000, seed: int = 7) -> dict:

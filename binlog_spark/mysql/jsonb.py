@@ -181,3 +181,113 @@ def _custom(data: bytes) -> object:
         return ("-" if neg else "") + s
     # unknown opaque type: hex string
     return payload.hex()
+
+
+# ---------------------------------------------------------------------------
+# encoder (fixture generator side — the server's role in round-trip tests)
+# ---------------------------------------------------------------------------
+
+
+def _enc_varlen(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def encode_jsonb(value) -> bytes:
+    """Encode a Python value (dict / list / str / int / float / bool /
+    None) into MySQL binary JSON — the inverse of decode_jsonb over the
+    JSON-expressible subset (opaque custom types are decode-only).
+    Ints pick the narrowest signed/unsigned marker; composites pick the
+    small format unless counts/offsets overflow 16 bits."""
+    typ, data = _enc_value(value)
+    return bytes([typ]) + data
+
+
+def _enc_value(v) -> tuple[int, bytes]:
+    if v is None:
+        return _LITERAL, bytes([_LIT_NULL])
+    if v is True:
+        return _LITERAL, bytes([_LIT_TRUE])
+    if v is False:
+        return _LITERAL, bytes([_LIT_FALSE])
+    if isinstance(v, int):
+        if -(1 << 15) <= v < (1 << 15):
+            return _INT16, struct.pack("<h", v)
+        if (1 << 15) <= v < (1 << 16):
+            return _UINT16, struct.pack("<H", v)
+        if -(1 << 31) <= v < (1 << 31):
+            return _INT32, struct.pack("<i", v)
+        if (1 << 31) <= v < (1 << 32):
+            return _UINT32, struct.pack("<I", v)
+        if -(1 << 63) <= v < (1 << 63):
+            return _INT64, struct.pack("<q", v)
+        if v < (1 << 64):
+            return _UINT64, struct.pack("<Q", v)
+        raise BinlogError("jsonb: int out of 64-bit range")
+    if isinstance(v, float):
+        return _DOUBLE, struct.pack("<d", v)
+    if isinstance(v, str):
+        b = v.encode("utf-8")
+        return _STRING, _enc_varlen(len(b)) + b
+    if isinstance(v, dict):
+        return _enc_composite(list(v.items()), is_object=True)
+    if isinstance(v, (list, tuple)):
+        return _enc_composite([(None, x) for x in v], is_object=False)
+    raise BinlogError(f"jsonb: cannot encode {type(v).__name__}")
+
+
+def _enc_composite(items, *, is_object: bool) -> tuple[int, bytes]:
+    keys_enc = [k.encode("utf-8") for k, _ in items] if is_object else []
+    vals_enc = [_enc_value(x) for _, x in items]
+    count = len(items)
+    for large in (False, True):
+        w = 4 if large else 2
+        fmt = "<I" if large else "<H"
+        header = 2 * w + (count * (w + 2) if is_object else 0) \
+            + count * (w + 1)
+        off = header
+        koffs = []
+        for kb in keys_enc:
+            koffs.append(off)
+            off += len(kb)
+        # inlined small scalars sit in the entry's offset slot (the
+        # decoder's rule: LITERAL/INT16/UINT16 always, INT32/UINT32 in
+        # the large format)
+        inline = {_LITERAL, _INT16, _UINT16}
+        if large:
+            inline |= {_INT32, _UINT32}
+        entries: list[tuple[int, int | None, bytes]] = []
+        for typ, data in vals_enc:
+            if typ in inline and len(data) <= w:
+                entries.append((typ, None, data))
+            else:
+                entries.append((typ, off, data))
+                off += len(data)
+        size = off
+        if not large and (size > 0xFFFF or count > 0xFFFF
+                          or any(len(kb) > 0xFFFF for kb in keys_enc)):
+            continue
+        buf = bytearray(struct.pack(fmt, count) + struct.pack(fmt, size))
+        for kb, ko in zip(keys_enc, koffs):
+            buf += struct.pack(fmt, ko) + struct.pack("<H", len(kb))
+        for typ, voff, data in entries:
+            if voff is None:
+                buf += bytes([typ]) + data.ljust(w, b"\x00")
+            else:
+                buf += bytes([typ]) + struct.pack(fmt, voff)
+        for kb in keys_enc:
+            buf += kb
+        for _typ, voff, data in entries:
+            if voff is not None:
+                buf += data
+        comp = ((_LARGE_OBJECT if large else _SMALL_OBJECT) if is_object
+                else (_LARGE_ARRAY if large else _SMALL_ARRAY))
+        return comp, bytes(buf)
+    raise BinlogError("jsonb: unreachable")

@@ -69,7 +69,7 @@ def binlog_typed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     sf = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
     n = _SF_TYPED.get(sf, 4000)
-    d = f"/tmp/binlog_typed_v2_{sf}_{n}"
+    d = f"/tmp/binlog_typed_v3_{sf}_{n}"
     if not os.path.exists(os.path.join(d, "manifest.json")):
         generate_typed(d, n_changes=n)
     return (decode_changes_generic(chunks_df(spark, d))
@@ -185,7 +185,7 @@ def golden_paths(sf_dir: str) -> dict[str, str]:
     dump = ensure_fixture(sf_dir)
     sf = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
     nt = _SF_TYPED.get(sf, 4000)
-    dt = f"/tmp/binlog_typed_v2_{sf}_{nt}"
+    dt = f"/tmp/binlog_typed_v3_{sf}_{nt}"
     if not os.path.exists(os.path.join(dt, "manifest.json")):
         generate_typed(dt, n_changes=nt)
     nm = _SF_MULTI.get(sf, 6000)

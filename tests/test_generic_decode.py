@@ -72,7 +72,7 @@ def test_generic_types_present(spark, typed_dump):
     assert sorted(img) == sorted(
         ["id", "n_small", "big", "amount", "ratio", "frac", "flag", "name",
          "body", "kind", "tags", "created", "updated", "day", "dur", "yr",
-         "bits"])
+         "bits", "doc"])
     # temporal renderings are ISO strings; negative TIME is an int (µs)
     assert "T" in img["created"]
     assert isinstance(img["dur"], int)

@@ -66,3 +66,45 @@ def test_array_with_out_of_line_string():
 
 def test_empty():
     assert decode_jsonb(b"") is None
+
+
+# ---------------------------------------------------------------------------
+# encoder round-trip (round 3): generator-side encode_jsonb vs the decoder
+# ---------------------------------------------------------------------------
+
+def test_encode_roundtrip_basics():
+    from binlog_spark.mysql.jsonb import decode_jsonb, encode_jsonb
+    cases = [
+        None, True, False, 0, -1, 32767, -32768, 40000, 1 << 40,
+        -(1 << 40), (1 << 63) + 5, 3.5, -0.25, "", "héllo 🚀",
+        [], {}, [1, "two", None, True, [3, {"k": 4}]],
+        {"a": 1, "b": {"c": [1.5, "x"], "d": None}, "long" * 20: False},
+    ]
+    for v in cases:
+        assert decode_jsonb(encode_jsonb(v)) == v, v
+
+
+def test_encode_roundtrip_property():
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    from binlog_spark.mysql.jsonb import decode_jsonb, encode_jsonb
+
+    scalars = st.one_of(
+        st.none(), st.booleans(),
+        st.integers(min_value=-(1 << 63), max_value=(1 << 64) - 1),
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.text(max_size=40))
+    values = st.recursive(
+        scalars,
+        lambda s: st.one_of(
+            st.lists(s, max_size=6),
+            st.dictionaries(st.text(max_size=12), s, max_size=6)),
+        max_leaves=25)
+
+    @settings(max_examples=200, deadline=None)
+    @given(values)
+    def check(v):
+        assert decode_jsonb(encode_jsonb(v)) == v
+
+    check()

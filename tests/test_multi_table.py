@@ -102,7 +102,12 @@ def test_typed_lake_columns_roundtrip(spark, tmp_path):
     for rid, row in list(live.items())[:50]:
         g = got[rid]
         (_id, n_small, big, amount, ratio, frac_v, flag, name, body,
-         kind, tags, created, updated, day, dur, yr, bits) = row
+         kind, tags, created, updated, day, dur, yr, bits, doc_enc) = row
+        import json as _json
+
+        from binlog_spark.mysql.jsonb import decode_jsonb
+        assert g.doc == _json.dumps(decode_jsonb(doc_enc),
+                                    separators=(",", ":"))
         assert g.n_small == n_small and g.big == big
         assert g.amount == Decimal(amount)
         assert abs(g.ratio - ratio) < 1e-9
