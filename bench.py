@@ -180,11 +180,10 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 60,
     job on a shared machine.  CPU-per-event (process-tree) is reported
     next to wall: flat CPU/event across configs proves no per-core work
     is added as parallelism quadruples."""
-    import time as _t
-
     repo = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, os.path.join(repo, "tools"))
-    from bench_scaling import run_config
+    from bench_scaling import (QUIET_CORES, ext_busy_cores, run_config,
+                               wait_quiet)
 
     from binlog_spark.decoder.chunks import read_manifest
     from binlog_spark.mysql import gen
@@ -195,36 +194,7 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 60,
             max_file_bytes=256 << 20), chunk_target=4 << 20)
     n_changes = read_manifest(dump)["n_changes"]
     ev = n_changes * replicate
-
-    def ext_busy_cores(interval: float = 2.0) -> float:
-        """ACTUAL external CPU right now, as busy cores, from a
-        /proc/stat delta.  The 1-min loadavg both LAGS (our own
-        just-exited run keeps it high for a minute) and under-reports a
-        freshly-arrived external load — round-3 lesson: samples gated
-        on loadavg < 2 still carried ~2 cores of live phantom load and
-        cost +50% CPU/event at the 16-core config, reading as a fake
-        scaling collapse.  Between our runs nothing of ours executes,
-        so total non-idle jiffies ARE the external load."""
-        def snap():
-            vals = list(map(int, open("/proc/stat").readline().split()[1:]))
-            return sum(vals), vals[3] + vals[4]  # total, idle+iowait
-        t0, i0 = snap()
-        _t.sleep(interval)
-        t1, i1 = snap()
-        total, idle = t1 - t0, i1 - i0
-        ncpu = os.cpu_count() or 1
-        return 0.0 if total <= 0 else ncpu * (1 - idle / total)
-
-    QUIET = 0.75  # external busy cores admitted into a sample
-
-    def wait_quiet(timeout: int = 240) -> float:
-        t0 = _t.time()
-        busy = ext_busy_cores()
-        while _t.time() - t0 < timeout and busy >= QUIET:
-            _t.sleep(3)
-            busy = ext_busy_cores()
-        return busy
-
+    QUIET = QUIET_CORES
     configs = sorted({c for p in pairs for c in p})
     samples: dict[int, list] = {c: [] for c in configs}
     # 2 base samples per config, interleaved so slow load drift hits all
@@ -262,7 +232,8 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 60,
             (blo["wall_sec"] / bhi["wall_sec"]) / (hi / lo), 3)
         out[f"cpu_scaling_efficiency_{lo}_to_{hi}"] = round(
             blo["cpu_us_per_event"] / bhi["cpu_us_per_event"], 3)
-    # headline = the primary N→4N pair (4→16, distinct physical cores)
+    # headline = the primary N→4N pair: 2→8, the largest step where
+    # every task thread owns a physical core at both sizes
     lo, hi = pairs[0]
     out["scaling_efficiency"] = out[f"scaling_efficiency_{lo}_to_{hi}"]
     out["cpu_scaling_efficiency"] = \

@@ -395,7 +395,13 @@ def apply_staged_batch(spark: SparkSession, staging: str, registry: dict,
     per-column reduction; FULL tables keep the cheap row-level winner
     search.  One column-pruned scan of the staged parquet's two presence
     strings decides — not a per-table probe job."""
-    partial_tables = {
+    # a batch of only statement/DDL transactions (or all-bad-CRC rows)
+    # stages ZERO row events: the partitioned dir holds no part files
+    # and parquet can't infer a schema from it — every table then takes
+    # the empty-merge branch below, which still commits the batch id
+    has_rows = os.path.isdir(staging) and any(
+        n.startswith("table_schema=") for n in os.listdir(staging))
+    partial_tables = set() if not has_rows else {
         (r.table_schema, r.table_name)
         for r in (spark.read.parquet(staging)
                   .where(F.col("after_present").isNotNull()
@@ -424,8 +430,13 @@ def apply_staged_batch(spark: SparkSession, staging: str, registry: dict,
             up = table_upserts_minimal(
                 spark.read.parquet(part), info["columns"], pk,
                 info["types"], broadcast_winners=broadcast_winners)
-            t.merge(spark, up, batch_id=bid, offsets=offsets)
-            release_minimal(up)
+            try:
+                t.merge(spark, up, batch_id=bid, offsets=offsets)
+            finally:
+                # release even when the merge raises — a retrying
+                # caller would otherwise stack one cached decode per
+                # attempt
+                release_minimal(up)
             return
         up = table_upserts(spark.read.parquet(part),
                            info["columns"], pk, info["types"],

@@ -190,7 +190,7 @@ def reduce_changes_minimal(events: DataFrame,
     Key-moving partial UPDATEs inherit the unchanged columns of the row
     at the OLD key (the physical row keeps them in MySQL): events that
     precede a move-out are remapped to the chain's final key (distributed
-    path doubling over the batch's move edges — chains up to 2^6 hops,
+    time-windowed edge composition — chains up to 15 in-batch hops,
     no driver state), and the reduced row carries ``base_repo/base_path``
     so the MERGE can coalesce from the origin row (whose bucket is always
     touched — its own tombstone stages there).
@@ -299,10 +299,11 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
     # arrival (h_lo < in_ord < h_m) — without the window check, a later
     # move-in to a vacated key would compose with that key's EARLIER
     # move-out and route the wrong row's history.  Each round composes
-    # against the FIXED edge table (a fin⋈fin doubling would double the
-    # logical PLAN per round — 2^6 copies of the moves subplan); 6 rounds
-    # follow 7-hop in-batch chains, longer (or a cycle) poisons the remap
-    # and raises.
+    # one hop against the FIXED (checkpointed) edge table — the window
+    # predicate can't ride a fin⋈fin doubling, so the budget is linear:
+    # 14 rounds follow 15-hop in-batch chains (the same row's key moved
+    # 15 times within one batch); longer (or a cycle) poisons the remap
+    # and raises loudly rather than mis-routing.
     fin = edges.select("f_r", "f_p", "lo_ord", "m_ord", "t_r", "t_p",
                        F.col("m_ord").alias("in_ord"))
     hop = edges.select(F.col("f_r").alias("h_f_r"),
@@ -318,20 +319,20 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
                 & (F.col("h_lo") < F.col("in_ord"))
                 & (F.col("in_ord") < F.col("h_m")))
 
-    for _ in range(6):
+    for _ in range(14):
         fin = (fin.join(hint(hop), _hop_cond(), "left")
                .select("f_r", "f_p", "lo_ord", "m_ord",
                        F.coalesce("h_t_r", "t_r").alias("t_r"),
                        F.coalesce("h_t_p", "t_p").alias("t_p"),
                        F.coalesce("h_m", "in_ord").alias("in_ord")))
-    # a further hop still matching after 6 rounds = >7-hop chain or a
+    # a further hop still matching after 14 rounds = >15-hop chain or a
     # cycle: poison
     still = fin.join(hint(hop), _hop_cond(), "left")
     fin = still.select(
         "f_r", "f_p", "lo_ord", "m_ord", "in_ord",
         F.when(F.col("h_f_r").isNull(), F.col("t_r"))
         .otherwise(F.raise_error(F.lit(
-            "reduce_changes_minimal: key-move chain exceeds 7 hops "
+            "reduce_changes_minimal: key-move chain exceeds 15 hops "
             "within one batch (or cycles); use smaller batches or FULL "
             "row images"))).alias("t_r"),
         F.col("t_p"))
@@ -444,9 +445,9 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
                .agg(F.first("_val").alias("v"),
                     F.count(F.lit(1)).alias("n")))
 
-    # pivoted is keys × payload-columns — the same size class as the
-    # winner sets, so it rides the same broadcast policy
-    out = top.join(hint(pivoted), on=list(KEY_COLS), how="left") \
+    # pivoted carries the winning payload VALUES (unlike the (key,
+    # scalar) winner sets) — it must never broadcast; this join shuffles
+    out = top.join(pivoted, on=list(KEY_COLS), how="left") \
         .join(hint(origin), on=list(KEY_COLS), how="left")
     resolved_csv = F.array_join(F.filter(F.array(*[
         F.when(F.coalesce(F.col(f"{c}_n"), F.lit(0)) >= 1, F.lit(c))

@@ -120,8 +120,13 @@ def replay(spark: SparkSession, dump_dir: str, table_root: str, *,
         # rather than caching the event stream — a DataFrame cache build
         # costs more than a second decode pass at scale
         metrics = write_lineage(events, table_root, bid) if lineage else {}
-        snap = table.merge(spark, upserts, batch_id=bid, offsets=offsets)
-        release_minimal(upserts)
+        try:
+            snap = table.merge(spark, upserts, batch_id=bid,
+                               offsets=offsets)
+        finally:
+            # release even when the merge raises — a retrying caller
+            # would otherwise stack one cached decode per attempt
+            release_minimal(upserts)
         snap.setdefault("stats", {}).update(metrics)
         if compact_every or compact_tombstone_ratio:
             table.maybe_compact(spark, every_n_commits=compact_every,

@@ -658,16 +658,23 @@ def iter_frames(data: bytes | memoryview, *, has_magic: bool = False,
     fixed-width header scan, then per-event bounded views).
 
     File heads (``has_magic=True``) are version-checked
-    (infer_binlog_version, the reference's rule): v1/v3 dumps use 13-byte
-    headers / START_EVENT_V3 instead of a FORMAT_DESCRIPTION and route to
-    the legacy header iterator — mid-stream chunks without a head are
-    assumed v4 (pre-5.0 servers are never chunked by this engine's
-    stager)."""
+    (infer_binlog_version, the reference's rule): dumps whose first
+    event is a START_EVENT_V3 are v1/v3 and route to the legacy header
+    iterator.  A head that is NEITHER a FORMAT_DESCRIPTION nor a
+    START_EVENT_V3 (corrupt or tool-sliced file) raises loudly — the
+    inference rule's "anything else → v3" default must not silently
+    decode a checksummed v4 stream with CRC verification off.
+    Mid-stream chunks without a head are assumed v4 (pre-5.0 servers
+    are never chunked by this engine's stager)."""
     mv = memoryview(data)
     pos = 4 if has_magic else 0
     if has_magic and len(mv) >= pos + 13:
         ver = infer_binlog_version(mv, has_magic=True)
         if ver != 4:
+            if mv[pos + 4] != C.START_EVENT_V3:
+                raise BinlogError(
+                    "binlog file head is neither FORMAT_DESCRIPTION nor "
+                    "START_EVENT_V3 — corrupt or sliced dump")
             yield from _iter_frames_legacy(mv, pos, ver)
             return
     if fde is None and not has_magic:

@@ -95,11 +95,15 @@ def stream_apply(spark: SparkSession, dump_dir: str, table_root: str,
             upserts = reduce_changes(events, salt_buckets=salt_buckets,
                                      key_events=keys)
             upserts, _ = flatten_extras(upserts, names=extra_names)
-        snap = table.merge(spark, upserts,
-                           batch_id=f"stream-{checkpoint_dir}-{batch_id}")
-        # the reduction persists the decoded batch for its sub-plans;
-        # release it or a long stream leaks one cache per micro-batch
-        release_minimal(upserts)
+        try:
+            snap = table.merge(
+                spark, upserts,
+                batch_id=f"stream-{checkpoint_dir}-{batch_id}")
+        finally:
+            # the reduction persists the decoded batch for its
+            # sub-plans; release it even when the merge raises, or a
+            # long stream's retries leak one cache per attempt
+            release_minimal(upserts)
         if on_batch is not None:
             on_batch(batch_id, snap)
 

@@ -207,6 +207,16 @@ def test_binlog_version_inference(fixture_dir):
     assert frames[1][0].timestamp == 6
     assert frames[0][0].next_pos == 4 + 13 + len(body1)
 
+    # a head that is NEITHER FDE nor START_EVENT_V3 (corrupt / sliced
+    # file) must raise loudly, not silently decode checksum-free via
+    # the inference rule's "anything else -> v3" default
+    from binlog_spark.mysql.decode import BinlogError
+    rot_hdr = struct.pack("<IBIIIH", 9, C.ROTATE_EVENT, 1, 19 + 12,
+                          4 + 19 + 12, 0)
+    sliced = C.MAGIC + rot_hdr + b"\x00" * 12
+    with pytest.raises(BinlogError):
+        list(iter_frames(sliced, has_magic=True))
+
 
 def test_checksum_off_dump_decodes(tmp_path):
     """binlog_checksum=NONE: the FDE declares alg 0 for file heads, and

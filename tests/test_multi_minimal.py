@@ -104,6 +104,26 @@ def test_composite_pk_partial_key_move(spark, tmp_path):
     assert got == want
 
 
+def test_empty_staged_batch_commits(spark, dump, tmp_path):
+    """A batch of only statement/DDL transactions stages ZERO row events
+    (a partitioned parquet dir with no part files): every table must
+    still commit the batch id via an empty merge instead of crashing on
+    schema inference."""
+    import os
+
+    from binlog_spark.cdc.multi import (apply_staged_batch, ensure_tables,
+                                        scan_table_registry)
+    reg = scan_table_registry(spark, chunks_df(spark, dump))
+    lake = str(tmp_path / "lake")
+    tables = ensure_tables(lake, reg, n_buckets=2)
+    staging = str(tmp_path / "staging")
+    os.makedirs(staging)
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    apply_staged_batch(spark, staging, reg, tables, "empty-batch")
+    for t in tables.values():
+        assert "empty-batch" in t.committed_batch_ids()
+
+
 def test_table_upserts_minimal_unit(spark, dump):
     """Direct unit check of the adapter: one table's staged rows reduce to
     one row per touched key with patch metadata."""

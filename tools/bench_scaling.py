@@ -116,6 +116,45 @@ spark.stop()
 """
 
 
+def ext_busy_cores(interval: float = 2.0) -> float:
+    """ACTUAL external CPU right now, as busy cores, from a /proc/stat
+    delta.  The 1-min loadavg both LAGS (our own just-exited run keeps
+    it high for a minute) and under-reports a freshly-arrived external
+    load — round-3 lesson: samples gated on loadavg < 2 still carried
+    ~2 cores of live phantom load and cost +50% CPU/event at the
+    16-core config, reading as a fake scaling collapse.  Between our
+    runs nothing of ours executes, so total non-idle jiffies ARE the
+    external load."""
+    import time as _t
+
+    def snap():
+        vals = list(map(int, open("/proc/stat").readline().split()[1:]))
+        return sum(vals), vals[3] + vals[4]  # total, idle+iowait
+    t0, i0 = snap()
+    _t.sleep(interval)
+    t1, i1 = snap()
+    total, idle = t1 - t0, i1 - i0
+    ncpu = os.cpu_count() or 1
+    return 0.0 if total <= 0 else ncpu * (1 - idle / total)
+
+
+#: external busy cores admitted into a measurement sample
+QUIET_CORES = 0.75
+
+
+def wait_quiet(threshold: float = QUIET_CORES, timeout: int = 240,
+               poll: float = 3.0) -> float:
+    """Wait for measured external CPU to drop below ``threshold`` busy
+    cores; returns the final measurement (≥ threshold if timed out)."""
+    import time as _t
+    t0 = _t.time()
+    busy = ext_busy_cores()
+    while _t.time() - t0 < timeout and busy >= threshold:
+        _t.sleep(poll)
+        busy = ext_busy_cores()
+    return busy
+
+
 def run_config(dump: str, n_events: int, cores: int, replicate: int) -> dict:
     code = _JOB.format(repo=REPO, cores=cores, dump=dump,
                        replicate=replicate, n_events=n_events)
@@ -144,33 +183,6 @@ def main() -> None:
             n_changes=n_changes, content_min=16, content_max=512,
             max_file_bytes=256 << 20), chunk_target=4 << 20)
     n_events = read_manifest(dump)["n_changes"]
-
-    def ext_busy_cores(interval: float = 2.0) -> float:
-        """Actual external CPU right now (busy cores) from a /proc/stat
-        delta — the 1-min loadavg lags our own exited runs and
-        under-reports fresh load (see bench.py's scaling pair)."""
-        import time as _t
-
-        def snap():
-            vals = list(map(int, open("/proc/stat").readline().split()[1:]))
-            return sum(vals), vals[3] + vals[4]
-        t0, i0 = snap()
-        _t.sleep(interval)
-        t1, i1 = snap()
-        total, idle = t1 - t0, i1 - i0
-        ncpu = os.cpu_count() or 1
-        return 0.0 if total <= 0 else ncpu * (1 - idle / total)
-
-    def wait_quiet(threshold: float = 0.75, timeout: int = 240) -> float:
-        """Wait for measured external CPU to drop below ``threshold``
-        busy cores before each measurement."""
-        import time as _t
-        t0 = _t.time()
-        busy = ext_busy_cores()
-        while _t.time() - t0 < timeout and busy >= threshold:
-            _t.sleep(5)
-            busy = ext_busy_cores()
-        return busy
 
     results = []
     for cores in cores_list:
