@@ -377,7 +377,6 @@ def user_var_body(name: str, value, charset: int = 45, *,
     int → INT (``unsigned`` sets the trailing flags byte and the 64-bit
     encoding), float → REAL (LE double), ("decimal", text, precision,
     scale) → DECIMAL (precision(1) + scale(1) + packed decimal)."""
-    import struct as _st
     ndata = name.encode()
     out = int4(len(ndata)) + ndata
     if value is None:
@@ -390,7 +389,7 @@ def user_var_body(name: str, value, charset: int = 45, *,
         vtype = UV_INT
         vdata = value.to_bytes(8, "little", signed=not unsigned)
     elif isinstance(value, float):
-        vtype, vdata = UV_REAL, _st.pack("<d", value)
+        vtype, vdata = UV_REAL, struct.pack("<d", value)
     elif isinstance(value, tuple) and value[0] == "decimal":
         _, text, precision, scale = value
         vtype = UV_DECIMAL
