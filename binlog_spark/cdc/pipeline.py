@@ -292,7 +292,10 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
     # execution itself (driver-side, unparallelizable).  Lazy local
     # checkpoint: shallow plan now, blocks materialize with the first
     # action and are reclaimed by the ContextCleaner when the batch's
-    # DataFrames go out of scope.
+    # DataFrames go out of scope.  Tradeoff at cluster scale: local
+    # checkpoints are not recomputable after executor loss — a lost
+    # block fails the batch, which the idempotent replay/merge retries;
+    # acceptable for per-batch frames, never used for long-lived state.
     edges = edges.localCheckpoint(eager=False)
     # terminal closure by TIME-CONSTRAINED edge composition: a chain may
     # only continue through the target key's first move-out AFTER the
