@@ -75,17 +75,6 @@ def decode_span_statements(data: bytes, log_file: str, *,
                                 verify_crc=verify_crc):
         t = fr.event_type
         b = fr.body
-        if _fde.binlog_version < 4 and t in (
-                C.QUERY_EVENT, C.INTVAR_EVENT, C.RAND_EVENT,
-                C.USER_VAR_EVENT):
-            # pre-v4 statement bodies use older post-header layouts
-            # (e.g. no status-vars block in QUERY) — fail loudly per
-            # TYPE rather than misparse; headers/framing still decode
-            from ..mysql.decode import BinlogError
-            raise BinlogError(
-                f"statement event type {t} in a v{_fde.binlog_version} "
-                "binlog uses a pre-v4 body layout; only v4 statement "
-                "bodies decode")
         if t == C.GTID_EVENT or t == C.ANONYMOUS_GTID_EVENT:
             cur = Cur(b)
             cur.int1()
@@ -99,10 +88,17 @@ def decode_span_statements(data: bytes, log_file: str, *,
             gtid = None
         elif t == C.QUERY_EVENT:
             # thread_id(4) exec_time(4) schema_len(1) error(2) status(2)
-            # (/root/reference/events.go:211-237)
+            # (/root/reference/events.go:211-237).  Pre-5.0 (binlog
+            # v1/v3) QUERY has no status-vars block — the schema starts
+            # right after the 11-byte post-header.  INTVAR/RAND/USER_VAR
+            # layouts are unchanged since their introduction, so only
+            # QUERY branches on the version.
             schema_len = b[8]
-            status_len = b[11] | (b[12] << 8)
-            pos = 13 + status_len
+            if _fde.binlog_version < 4:
+                pos = 11
+            else:
+                status_len = b[11] | (b[12] << 8)
+                pos = 13 + status_len
             schema = str(b[pos:pos + schema_len], "utf-8")
             pos += schema_len + 1  # trailing NUL
             sql = str(b[pos:], "utf-8")

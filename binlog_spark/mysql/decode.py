@@ -623,9 +623,10 @@ def _iter_frames_legacy(mv: memoryview, pos: int, ver: int
     (4.0/4.1) headers match v4's 19 bytes.  Neither version carries
     checksums or a FORMAT_DESCRIPTION; START_EVENT_V3 declares the
     binlog version + server version (the 56-byte body the inference
-    rule sizes against).  Per-TYPE decode beyond the header is the v4
-    surface: statement/rows bodies that predate v4 layouts surface as
-    their raw types for the caller to reject loudly, not misparse."""
+    rule sizes against).  Statement bodies decode too (QUERY branches
+    on the version — pre-5.0 has no status-vars block; INTVAR / RAND /
+    USER_VAR layouts are unchanged since their introduction); rows
+    events predate RBR entirely, so none exist in these versions."""
     hdr = 13 if ver == 1 else C.HEADER_SIZE
     cur_fde = Fde(binlog_version=ver, checksum_len=0)
     n = len(mv)

@@ -107,3 +107,35 @@ def test_user_var_bodies_roundtrip():
     assert cols["stmt_type"] == ["USER_VAR"] * len(cases)
     assert cols["text"] == [c[0] for c in cases]
     assert cols["value"] == [c[2] for c in cases]
+
+
+def test_pre_v4_statement_bodies_decode():
+    """v3 (4.0/4.1) dumps: QUERY has no status-vars block (schema starts
+    after the 11-byte post-header); USER_VAR/INTVAR layouts are the v4
+    ones.  The statements channel must decode a v3-head file end-to-end
+    through the legacy frame iterator."""
+    from binlog_spark import constants as C
+
+    def ev3(typ, body, ts):
+        return struct.pack("<IBIIIH", ts, typ, 1, 19 + len(body), 0, 0) \
+            + body
+
+    start = (struct.pack("<H", 3) + b"4.1.22-log".ljust(50, b"\x00")
+             + struct.pack("<I", 0))
+    sql = b"INSERT INTO t VALUES (1)"
+    q_body = (struct.pack("<IIBH", 7, 0, 4, 0) + b"shop\x00" + sql)
+    uv = E.user_var_body("v1", 42)
+    iv = E.intvar_body(2, 777)
+    data = (C.MAGIC + ev3(C.START_EVENT_V3, start, 5)
+            + ev3(C.QUERY_EVENT, q_body, 6)
+            + ev3(C.USER_VAR_EVENT, uv, 7)
+            + ev3(C.INTVAR_EVENT, iv, 8))
+    cols = decode_span_statements(data, "binlog.000001", has_magic=True)
+    by_type = dict(zip(cols["stmt_type"], zip(cols["schema_name"],
+                                              cols["text"], cols["value"],
+                                              cols["n1"], cols["n2"])))
+    assert by_type["QUERY"][0] == "shop"
+    assert by_type["QUERY"][1] == sql.decode()
+    assert by_type["USER_VAR"][1] == "v1"
+    assert by_type["USER_VAR"][2] == "42"
+    assert by_type["INTVAR"][4] == 777
