@@ -175,7 +175,10 @@ def reduce_changes(events: DataFrame, *, salt_buckets: int = 0,
 
 def reduce_changes_minimal(events: DataFrame,
                            extra_names: list[str] | None = None,
-                           *, broadcast_winners: bool = True) -> DataFrame:
+                           *, broadcast_winners: bool = True,
+                           driver_closure_cap: int | None = None,
+                           key_events: DataFrame | None = None
+                           ) -> DataFrame:
     """Reduction for streams with MINIMAL row images: partial after-images
     PATCH columns instead of replacing the row, so last-writer-wins runs
     PER COLUMN, not per row.
@@ -189,9 +192,13 @@ def reduce_changes_minimal(events: DataFrame,
 
     Key-moving partial UPDATEs inherit the unchanged columns of the row
     at the OLD key (the physical row keeps them in MySQL): events that
-    precede a move-out are remapped to the chain's final key (distributed
-    time-windowed edge composition — chains up to 15 in-batch hops,
-    no driver state), and the reduced row carries ``base_repo/base_path``
+    precede a move-out are remapped to the chain's final key.  The move
+    EDGE set (one row per key-moving update — tiny vs the stream) is
+    closed exactly on the driver for batches up to
+    ``driver_closure_cap`` edges (chains of any length, cycle-checked);
+    a >100k-edge batch falls back to the distributed time-windowed edge
+    composition (chains up to 15 in-batch hops, no driver state), and
+    the reduced row carries ``base_repo/base_path``
     so the MERGE can coalesce from the origin row (whose bucket is always
     touched — its own tombstone stages there).
 
@@ -232,13 +239,20 @@ def reduce_changes_minimal(events: DataFrame,
     shuffles; disable for batches whose distinct-key count exceeds driver
     memory — the joins then shuffle (mirrors ``last_writer_wins``).
 
-    The returned DataFrame carries ``_persisted_source`` — the internally
-    persisted decoded batch (several sub-plans read it).  Callers that
-    consume the result (replay / stream_apply) must unpersist it after
-    the terminal action: ``release_minimal(out)``."""
+    ``key_events``: optionally a cheap key-only decode of the same
+    chunks (decoder.kernel.decode_keys) — the key-move EDGE probe runs
+    on it instead of the full decode, so payload bytes are decoded
+    exactly once (into the stream's plan-truncating local checkpoint).
+
+    The returned DataFrame carries ``_persisted_source`` for API
+    compatibility (always None: the reduction no longer caches the
+    decode — a payload-string cache build costs more than one extra
+    key-only pass); ``release_minimal`` remains a safe no-op."""
     payload = ["commit", "lang", "content", *(extra_names or [])]
     good, _bad = quarantine_bad_crc(events)
     good = with_key_change_tombstones(good)
+    key_good = (key_events.filter(F.col("crc_ok"))
+                if key_events is not None else None)
 
     def value_of(c: str) -> F.Column:
         if c in DATA_COLS:
@@ -246,11 +260,105 @@ def reduce_changes_minimal(events: DataFrame,
         return F.get_json_object("extra_json", f"$.{c}")
 
     return _minimal_core(good, payload, value_of,
-                         broadcast_winners=broadcast_winners)
+                         broadcast_winners=broadcast_winners,
+                         driver_closure_cap=driver_closure_cap,
+                         key_good=key_good)
+
+
+#: key-move edge sets at or below this size are closed on the driver
+#: (exact chain-following, any length, cycle-checked) instead of via the
+#: 14-round distributed composition.  Edges are one row per KEY-MOVING
+#: update — a tiny fraction of any real change stream — so ~every batch
+#: takes this path; the distributed closure remains for the pathological
+#: batch whose move set alone outgrows driver memory.
+DRIVER_CLOSURE_CAP = 100_000
+
+
+def _close_moves_driver(edge_rows: list) -> tuple[list, list, list]:
+    """Exact closure of the key-move edge set on the driver.
+
+    Input rows carry (f_r, f_p, lo_ord, m_ord, t_r, t_p) — one edge per
+    key-moving update, windowed by the source key's previous move-out
+    (lo_ord).  Mirrors the distributed time-constrained composition in
+    ``_apply_moves_distributed`` (a chain continues through the target
+    key's first move-out strictly inside (h_lo, h_m)) but follows chains
+    of ANY length and detects true cycles exactly, so the 15-hop batch
+    limit does not apply on this path.
+
+    Returns (remap_rows, min_in_rows, origin_rows):
+      * remap:  (r_r, r_p, m_ord, t_r, t_p, in_ord, lo_ord, arr_ord) —
+        events at a moved-from key inside (lo_ord, m_ord) follow the
+        chain to (t_r, t_p); arr_ord = the latest move-in INTO the source
+        key inside the window (events before it are a dead generation);
+      * min_in: (n_r, n_p, _min_in) — first chain arrival per final key;
+      * origin: (repo, path, base_repo_m, base_path_m) — the chain start
+        of the latest arrival per final key.
+    """
+    import bisect
+    by_src: dict = {}
+    by_tgt: dict = {}
+    for e in edge_rows:
+        by_src.setdefault((e.f_r, e.f_p), []).append(e)
+        by_tgt.setdefault((e.t_r, e.t_p), []).append(e.m_ord)
+    for k, v in by_src.items():
+        v.sort(key=lambda e: e.m_ord)
+    src_ords = {k: [e.m_ord for e in v] for k, v in by_src.items()}
+    for v in by_tgt.values():
+        v.sort()
+
+    n = len(edge_rows)
+    fin = []  # (f_r, f_p, lo_ord, m_ord, t_r, t_p, in_ord)
+    for e in edge_rows:
+        t_r, t_p, in_ord = e.t_r, e.t_p, e.m_ord
+        hops = 0
+        while True:
+            lst = by_src.get((t_r, t_p))
+            if not lst:
+                break
+            i = bisect.bisect_right(src_ords[(t_r, t_p)], in_ord)
+            if i >= len(lst) or not (lst[i].lo_ord < in_ord
+                                     < lst[i].m_ord):
+                break
+            t_r, t_p, in_ord = lst[i].t_r, lst[i].t_p, lst[i].m_ord
+            hops += 1
+            # invariant guard: each hop strictly raises in_ord and
+            # consumes one window, so > n hops is unreachable unless the
+            # edge set itself is inconsistent
+            if hops > n:
+                raise ValueError(
+                    "reduce_changes_minimal: key-move closure exceeded "
+                    "the edge count; inconsistent move edge set")
+        fin.append((e.f_r, e.f_p, e.lo_ord, e.m_ord, t_r, t_p, in_ord))
+
+    remap = []
+    for (f_r, f_p, lo_ord, m_ord, t_r, t_p, in_ord) in fin:
+        arr = None
+        ords = by_tgt.get((f_r, f_p))
+        if ords:
+            i = bisect.bisect_left(ords, m_ord)  # move-ins strictly < m_ord
+            if i > 0 and ords[i - 1] > lo_ord:
+                arr = ords[i - 1]
+        remap.append((f_r, f_p, m_ord, t_r, t_p, in_ord, lo_ord, arr))
+
+    min_in: dict = {}
+    win: dict = {}  # final key -> (in_ord, (m_ord, f_r, f_p))
+    for (f_r, f_p, lo_ord, m_ord, t_r, t_p, in_ord) in fin:
+        k = (t_r, t_p)
+        if k not in min_in or in_ord < min_in[k]:
+            min_in[k] = in_ord
+        start = (m_ord, f_r, f_p)
+        if (k not in win or in_ord > win[k][0]
+                or (in_ord == win[k][0] and start < win[k][1])):
+            win[k] = (in_ord, start)
+    min_in_rows = [(k[0], k[1], v) for k, v in min_in.items()]
+    origin_rows = [(k[0], k[1], v[1][1], v[1][2]) for k, v in win.items()]
+    return remap, min_in_rows, origin_rows
 
 
 def _minimal_core(good: DataFrame, payload: list[str], value_of,
-                  *, broadcast_winners: bool = True) -> DataFrame:
+                  *, broadcast_winners: bool = True,
+                  driver_closure_cap: int | None = None,
+                  key_good: DataFrame | None = None) -> DataFrame:
     """Schema-generic per-column MINIMAL reduction (semantics documented
     on reduce_changes_minimal).  ``good`` is the quarantined, tombstoned
     event stream with columns (repo, path) as the — possibly packed —
@@ -261,16 +369,21 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
     primary keys onto this core by packing pk cells into the ``repo``
     column (cdc.multi.table_upserts_minimal)."""
     hint = F.broadcast if broadcast_winners else (lambda df: df)
-    # the decoded stream feeds several sub-plans (moves, barriers, top,
-    # melt) — persist one decode instead of re-decoding per sub-plan
-    ev = good.withColumn("_ord", pack_ord()).persist()
-    persisted = ev
+    # NO persist of the decoded stream: a payload-string columnar cache
+    # build costs more than recomputing the decode (measured round 1 and
+    # again round 4 — 153 core-sec for a 40k-change batch).  Instead the
+    # stream is materialized exactly once into the plan-truncating local
+    # checkpoint below, and the key-move EDGE probe runs on ``key_good``
+    # (a length-skipping key-only decode, ~3-4× cheaper) when provided.
+    ev = good.withColumn("_ord", pack_ord())
 
     # --- key-move lineage ---------------------------------------------------
     moved = ((F.col("op") == "U") & F.col("before_repo").isNotNull()
              & ((F.col("before_repo") != F.col("repo"))
                 | (F.col("before_path") != F.col("path"))))
-    moves = (ev.filter(moved)
+    key_src = (key_good.withColumn("_ord", pack_ord())
+               if key_good is not None else ev)
+    moves = (key_src.filter(moved)
              .select(F.col("before_repo").alias("f_r"),
                      F.col("before_path").alias("f_p"),
                      F.col("repo").alias("t_r"),
@@ -297,92 +410,141 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
     # block fails the batch, which the idempotent replay/merge retries;
     # acceptable for per-batch frames, never used for long-lived state.
     edges = edges.localCheckpoint(eager=False)
-    # terminal closure by TIME-CONSTRAINED edge composition: a chain may
-    # only continue through the target key's first move-out AFTER the
-    # arrival (h_lo < in_ord < h_m) — without the window check, a later
-    # move-in to a vacated key would compose with that key's EARLIER
-    # move-out and route the wrong row's history.  Each round composes
-    # one hop against the FIXED (checkpointed) edge table — the window
-    # predicate can't ride a fin⋈fin doubling, so the budget is linear:
-    # 14 rounds follow 15-hop in-batch chains (the same row's key moved
-    # 15 times within one batch); longer (or a cycle) poisons the remap
-    # and raises loudly rather than mis-routing.
-    fin = edges.select("f_r", "f_p", "lo_ord", "m_ord", "t_r", "t_p",
-                       F.col("m_ord").alias("in_ord"))
-    hop = edges.select(F.col("f_r").alias("h_f_r"),
-                       F.col("f_p").alias("h_f_p"),
-                       F.col("lo_ord").alias("h_lo"),
-                       F.col("m_ord").alias("h_m"),
-                       F.col("t_r").alias("h_t_r"),
-                       F.col("t_p").alias("h_t_p"))
+    # probe the edge set size (materializes the edge checkpoint off the
+    # cheap key-only pass).  Almost every real batch lands in the first
+    # two arms: zero key-moves (skip the lineage machinery outright) or
+    # a small edge set (exact driver-side closure, no join rounds, no
+    # hop cap).  count, not limit+collect: a limit executes in
+    # sequential scale-up waves (1, 4, 16, … partitions) that serialize
+    # the materialization; count is one fully-parallel job.
+    if driver_closure_cap is None:
+        driver_closure_cap = DRIVER_CLOSURE_CAP
+    n_edges = edges.count()
+    probe = edges.collect() if 0 < n_edges <= driver_closure_cap else []
+    spark = good.sparkSession
+    if n_edges == 0:
+        # move-free batch: no remap, nothing dead, no origin keys —
+        # straight to barrier/melt/pivot over the checkpointed stream
+        remap = min_in = origin = None
+        ev = (ev.withColumn("_in", F.lit(None).cast("long"))
+              .withColumn("_dead", F.lit(False)))
+    elif n_edges <= driver_closure_cap:
+        remap_rows, min_in_rows, origin_rows = _close_moves_driver(probe)
+        remap = F.broadcast(spark.createDataFrame(
+            remap_rows, "r_r string, r_p string, m_ord long, t_r string,"
+            " t_p string, in_ord long, lo_ord long, arr_ord long"))
+        min_in = F.broadcast(spark.createDataFrame(
+            min_in_rows, "n_r string, n_p string, _min_in long"))
+        origin = F.broadcast(spark.createDataFrame(
+            origin_rows, "repo string, path string, base_repo_m string,"
+            " base_path_m string"))
+    else:
+        # terminal closure by TIME-CONSTRAINED edge composition: a chain
+        # may only continue through the target key's first move-out AFTER
+        # the arrival (h_lo < in_ord < h_m) — without the window check, a
+        # later move-in to a vacated key would compose with that key's
+        # EARLIER move-out and route the wrong row's history.  Each round
+        # composes one hop against the FIXED (checkpointed) edge table —
+        # the window predicate can't ride a fin⋈fin doubling, so the
+        # budget is linear: 14 rounds follow 15-hop in-batch chains (the
+        # same row's key moved 15 times within one batch); longer (or a
+        # cycle) poisons the remap and raises loudly rather than
+        # mis-routing.  (Chains of any length are handled exactly on the
+        # driver path above; this arm only runs for >100k-edge batches.)
+        fin = edges.select("f_r", "f_p", "lo_ord", "m_ord", "t_r", "t_p",
+                           F.col("m_ord").alias("in_ord"))
+        hop = edges.select(F.col("f_r").alias("h_f_r"),
+                           F.col("f_p").alias("h_f_p"),
+                           F.col("lo_ord").alias("h_lo"),
+                           F.col("m_ord").alias("h_m"),
+                           F.col("t_r").alias("h_t_r"),
+                           F.col("t_p").alias("h_t_p"))
 
-    def _hop_cond() -> F.Column:
-        return ((F.col("t_r") == F.col("h_f_r"))
-                & (F.col("t_p") == F.col("h_f_p"))
-                & (F.col("h_lo") < F.col("in_ord"))
-                & (F.col("in_ord") < F.col("h_m")))
+        def _hop_cond() -> F.Column:
+            return ((F.col("t_r") == F.col("h_f_r"))
+                    & (F.col("t_p") == F.col("h_f_p"))
+                    & (F.col("h_lo") < F.col("in_ord"))
+                    & (F.col("in_ord") < F.col("h_m")))
 
-    for _ in range(14):
-        fin = (fin.join(hint(hop), _hop_cond(), "left")
-               .select("f_r", "f_p", "lo_ord", "m_ord",
-                       F.coalesce("h_t_r", "t_r").alias("t_r"),
-                       F.coalesce("h_t_p", "t_p").alias("t_p"),
-                       F.coalesce("h_m", "in_ord").alias("in_ord")))
-    # a further hop still matching after 14 rounds = >15-hop chain or a
-    # cycle: poison
-    still = fin.join(hint(hop), _hop_cond(), "left")
-    fin = still.select(
-        "f_r", "f_p", "lo_ord", "m_ord", "in_ord",
-        F.when(F.col("h_f_r").isNull(), F.col("t_r"))
-        .otherwise(F.raise_error(F.lit(
-            "reduce_changes_minimal: key-move chain exceeds 15 hops "
-            "within one batch (or cycles); use smaller batches or FULL "
-            "row images"))).alias("t_r"),
-        F.col("t_p"))
-    # remap: events at a moved-from key inside the edge's window follow
-    # the chain to the final key
-    remap = fin.select(F.col("f_r").alias("r_r"),
-                       F.col("f_p").alias("r_p"), "t_r", "t_p", "m_ord",
-                       "in_ord", "lo_ord")
-    # per source-key window: the move-in that delivered the tracked row
-    # to this key (if any) — events before it belong to the key's prior,
-    # now-dead row generation
-    mt = moves.select(F.col("t_r").alias("mt_r"), F.col("t_p").alias("mt_p"),
-                      F.col("m_ord").alias("mt_ord"))
-    remap = (remap.join(hint(mt),
-                        (F.col("mt_r") == F.col("r_r"))
-                        & (F.col("mt_p") == F.col("r_p"))
-                        & (F.col("mt_ord") > F.col("lo_ord"))
-                        & (F.col("mt_ord") < F.col("m_ord")), "left")
-             .groupBy("r_r", "r_p", "m_ord")
-             .agg(F.first("t_r").alias("t_r"), F.first("t_p").alias("t_p"),
-                  F.first("in_ord").alias("in_ord"),
-                  F.first("lo_ord").alias("lo_ord"),
-                  F.max("mt_ord").alias("arr_ord")))
-    # first arrival per final key: native events before it belong to the
-    # key's prior row generation (the move-in proves it was deleted)
-    min_in = (fin.groupBy(F.col("t_r").alias("n_r"),
-                          F.col("t_p").alias("n_p"))
-              .agg(F.min("in_ord").alias("_min_in")))
-    ev = (ev.join(hint(remap),
-                  (F.col("repo") == F.col("r_r"))
-                  & (F.col("path") == F.col("r_p"))
-                  & (F.col("_ord") < F.col("m_ord"))
-                  & (F.col("_ord") > F.col("lo_ord")), "left")
-          .withColumn("_in", F.col("in_ord"))
-          .withColumn("_dead", F.col("arr_ord").isNotNull()
-                      & (F.col("_ord") < F.col("arr_ord")))
-          .withColumn("repo", F.coalesce("t_r", "repo"))
-          .withColumn("path", F.coalesce("t_p", "path"))
-          .drop("r_r", "r_p", "t_r", "t_p", "m_ord", "lo_ord", "in_ord",
-                "arr_ord"))
-    ev = (ev.join(hint(min_in),
-                  (F.col("repo") == F.col("n_r"))
-                  & (F.col("path") == F.col("n_p")), "left")
-          .withColumn("_dead", F.col("_dead")
-                      | (F.col("_in").isNull() & F.col("_min_in").isNotNull()
-                         & (F.col("_ord") < F.col("_min_in"))))
-          .drop("n_r", "n_p", "_min_in"))
+        for _ in range(14):
+            fin = (fin.join(hint(hop), _hop_cond(), "left")
+                   .select("f_r", "f_p", "lo_ord", "m_ord",
+                           F.coalesce("h_t_r", "t_r").alias("t_r"),
+                           F.coalesce("h_t_p", "t_p").alias("t_p"),
+                           F.coalesce("h_m", "in_ord").alias("in_ord")))
+        # a further hop still matching after 14 rounds = >15-hop chain or
+        # a cycle: poison
+        still = fin.join(hint(hop), _hop_cond(), "left")
+        fin = still.select(
+            "f_r", "f_p", "lo_ord", "m_ord", "in_ord",
+            F.when(F.col("h_f_r").isNull(), F.col("t_r"))
+            .otherwise(F.raise_error(F.lit(
+                "reduce_changes_minimal: key-move chain exceeds 15 hops "
+                "within one batch (or cycles); use smaller batches or "
+                "FULL row images"))).alias("t_r"),
+            F.col("t_p"))
+        # remap: events at a moved-from key inside the edge's window
+        # follow the chain to the final key
+        remap = fin.select(F.col("f_r").alias("r_r"),
+                           F.col("f_p").alias("r_p"), "t_r", "t_p",
+                           "m_ord", "in_ord", "lo_ord")
+        # per source-key window: the move-in that delivered the tracked
+        # row to this key (if any) — events before it belong to the
+        # key's prior, now-dead row generation
+        mt = moves.select(F.col("t_r").alias("mt_r"),
+                          F.col("t_p").alias("mt_p"),
+                          F.col("m_ord").alias("mt_ord"))
+        remap = (remap.join(hint(mt),
+                            (F.col("mt_r") == F.col("r_r"))
+                            & (F.col("mt_p") == F.col("r_p"))
+                            & (F.col("mt_ord") > F.col("lo_ord"))
+                            & (F.col("mt_ord") < F.col("m_ord")), "left")
+                 .groupBy("r_r", "r_p", "m_ord")
+                 .agg(F.first("t_r").alias("t_r"),
+                      F.first("t_p").alias("t_p"),
+                      F.first("in_ord").alias("in_ord"),
+                      F.first("lo_ord").alias("lo_ord"),
+                      F.max("mt_ord").alias("arr_ord")))
+        remap = hint(remap)
+        # first arrival per final key: native events before it belong to
+        # the key's prior row generation (the move-in proves it was
+        # deleted)
+        min_in = hint(fin.groupBy(F.col("t_r").alias("n_r"),
+                                  F.col("t_p").alias("n_p"))
+                      .agg(F.min("in_ord").alias("_min_in")))
+        # origin per final key: the chain start of the LATEST arrival (an
+        # earlier chain at the same key is a dead generation); the start
+        # is the winning chain's earliest move-out window
+        win = fin.groupBy("t_r", "t_p").agg(F.max("in_ord").alias("in_ord"))
+        origin = hint(
+            fin.join(win, on=["t_r", "t_p", "in_ord"], how="inner")
+            .groupBy(F.col("t_r").alias("repo"),
+                     F.col("t_p").alias("path"))
+            .agg(F.min(F.struct(F.col("m_ord"),
+                                F.col("f_r"), F.col("f_p"))).alias("w"))
+            .select("repo", "path", F.col("w.f_r").alias("base_repo_m"),
+                    F.col("w.f_p").alias("base_path_m")))
+    if remap is not None:
+        ev = (ev.join(remap,
+                      (F.col("repo") == F.col("r_r"))
+                      & (F.col("path") == F.col("r_p"))
+                      & (F.col("_ord") < F.col("m_ord"))
+                      & (F.col("_ord") > F.col("lo_ord")), "left")
+              .withColumn("_in", F.col("in_ord"))
+              .withColumn("_dead", F.col("arr_ord").isNotNull()
+                          & (F.col("_ord") < F.col("arr_ord")))
+              .withColumn("repo", F.coalesce("t_r", "repo"))
+              .withColumn("path", F.coalesce("t_p", "path"))
+              .drop("r_r", "r_p", "t_r", "t_p", "m_ord", "lo_ord",
+                    "in_ord", "arr_ord"))
+        ev = (ev.join(min_in,
+                      (F.col("repo") == F.col("n_r"))
+                      & (F.col("path") == F.col("n_p")), "left")
+              .withColumn("_dead", F.col("_dead")
+                          | (F.col("_in").isNull()
+                             & F.col("_min_in").isNotNull()
+                             & (F.col("_ord") < F.col("_min_in"))))
+              .drop("n_r", "n_p", "_min_in"))
     # effective order (arrival position, own order) as one DECIMAL(38,0):
     # remapped events rank at their chain's arrival at the final key —
     # 2^63·pos + own fits in 38 digits (< 1e38) and decimal aggregation
@@ -391,26 +553,15 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
     ev = ev.withColumn(
         "_eff", (pos * F.lit("9223372036854775808").cast("decimal(20,0)")
                  + F.col("_ord")).cast("decimal(38,0)"))
-    # second plan truncation, at the remapped/classified stream: the
-    # barrier set, winner search, melt and top sub-plans reference this
-    # ~6× — without the cut each reference re-embeds decode+remap into
-    # the analyzed tree (the persist above caches EXECUTION, not plan
-    # shape).  Lazy: the first downstream action materializes it once
-    # off the persisted decode.
+    # the stream's ONE materialization: the barrier set, winner search,
+    # melt and top sub-plans reference this ~6× — the checkpoint both
+    # truncates the analyzed plan (Catalyst ANALYSIS of the re-embedded
+    # decode subtree was costing multiples of the execution) and stores
+    # the decoded+remapped rows once, replacing the former persist()
+    # whose columnar string-cache build cost more than the decode.
+    # Lazy: the first downstream action materializes it.
     ev = ev.localCheckpoint(eager=False)
     alive = ev.filter(~F.col("_dead"))
-
-    # origin per final key: the chain start of the LATEST arrival (an
-    # earlier chain at the same key is a dead generation); the start is
-    # the winning chain's earliest move-out window
-    win = fin.groupBy("t_r", "t_p").agg(F.max("in_ord").alias("in_ord"))
-    origin = (fin.join(win, on=["t_r", "t_p", "in_ord"], how="inner")
-              .groupBy(F.col("t_r").alias("repo"),
-                       F.col("t_p").alias("path"))
-              .agg(F.min(F.struct(F.col("m_ord"),
-                                  F.col("f_r"), F.col("f_p"))).alias("w"))
-              .select("repo", "path", F.col("w.f_r").alias("base_repo_m"),
-                      F.col("w.f_p").alias("base_path_m")))
 
     is_barrier = (F.col("op") == "D") | F.col("present_cols").isNull()
     bar = (alive.filter(is_barrier).groupBy(*KEY_COLS)
@@ -450,8 +601,12 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
 
     # pivoted carries the winning payload VALUES (unlike the (key,
     # scalar) winner sets) — it must never broadcast; this join shuffles
-    out = top.join(pivoted, on=list(KEY_COLS), how="left") \
-        .join(hint(origin), on=list(KEY_COLS), how="left")
+    out = top.join(pivoted, on=list(KEY_COLS), how="left")
+    if origin is not None:
+        out = out.join(origin, on=list(KEY_COLS), how="left")
+    else:
+        out = (out.withColumn("base_repo_m", F.lit(None).cast("string"))
+               .withColumn("base_path_m", F.lit(None).cast("string")))
     resolved_csv = F.array_join(F.filter(F.array(*[
         F.when(F.coalesce(F.col(f"{c}_n"), F.lit(0)) >= 1, F.lit(c))
         for c in payload]), lambda x: x.isNotNull()), ",")
@@ -475,7 +630,9 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
         F.when(is_patch, F.col("base_repo_m")).alias("base_repo"),
         F.when(is_patch, F.col("base_path_m")).alias("base_path"),
         *ORDER_COLS, "gtid", "ts_sec")
-    out._persisted_source = persisted
+    # no cached decode to release any more (see the checkpoint note
+    # above); kept for API compatibility with release_minimal callers
+    out._persisted_source = None
     return out
 
 

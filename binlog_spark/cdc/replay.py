@@ -101,9 +101,12 @@ def replay(spark: SparkSession, dump_dir: str, table_root: str, *,
         # the pipeline.
         extra_names = scan_extra_columns(spans)
         if minimal_images:
+            # key-only decode feeds the edge probe so payload bytes are
+            # decoded once (into the reduction's stream checkpoint)
             upserts = reduce_changes_minimal(
                 events, extra_names=extra_names,
-                broadcast_winners=broadcast_winners)
+                broadcast_winners=broadcast_winners,
+                key_events=decode_keys(cdf, partitions=partitions))
         else:
             # late materialization: winner search runs on the cheap
             # key-only decode; the full decode is joined against the

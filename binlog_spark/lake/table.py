@@ -301,6 +301,15 @@ class LakeTable:
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, commit_id)
         obs = Observation(f"merge-{commit_id}")
+        _timing = os.environ.get("SPARK_GRAFT_MERGE_TIMING") == "1"
+        _t0 = time.time()
+
+        def _tick(label: str) -> None:
+            nonlocal _t0
+            if _timing:
+                print(f"    merge[{label}] {time.time() - _t0:.2f}s",
+                      flush=True)
+                _t0 = time.time()
         n_parts = max(self.n_buckets // 2, 1)
 
         extra_sel = [c for c in ("present_cols", *lineage_cols)
@@ -315,6 +324,7 @@ class LakeTable:
             # present_cols is merge metadata, never persisted
             (src.drop(*extra_sel).repartition(n_parts, "bucket")
              .write.partitionBy("bucket").mode("overwrite").parquet(out_dir))
+            _tick("empty-write")
             by_bucket = self._bucket_files(out_dir)
             touched = sorted(by_bucket)
             staging_dir = None
@@ -324,6 +334,7 @@ class LakeTable:
             (src.repartition(n_parts, "bucket")
              .write.partitionBy("bucket").mode("overwrite")
              .parquet(staging_dir))
+            _tick("staging-write")
             touched = sorted(self._bucket_files(staging_dir))
             touched_files = [f for b in touched
                              for f in old_buckets.get(str(b), [])]
@@ -427,6 +438,7 @@ class LakeTable:
                 merged = staged.withColumn("bucket", self._bucket_col())
             (merged.repartition(max(len(touched), 1), "bucket")
              .write.partitionBy("bucket").mode("overwrite").parquet(out_dir))
+            _tick("merge-write")
             by_bucket = self._bucket_files(out_dir)
 
         new_buckets = dict(old_buckets)
@@ -447,6 +459,7 @@ class LakeTable:
             bucket_rows[str(b)] = sum(_parquet_rows(f)
                                       for f in by_bucket.get(b, []))
         rows_stored = sum(bucket_rows.values())
+        _tick("footers")
 
         row = obs.get
         n_up, n_del = int(row["n"] or 0), int(row["d"] or 0)

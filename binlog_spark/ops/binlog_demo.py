@@ -144,10 +144,10 @@ def binlog_minimal_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _minimal_fixture(sf_dir)
     lake = f"{d}_lake"
     shutil.rmtree(lake, ignore_errors=True)
-    # batches sized for throughput (a real deployment batches gigabytes;
-    # 20-chunk micro-batches exist to exercise resume in tests/) — the
-    # per-batch floor is driver-side plan work, not data
-    table = replay(spark, d, lake, chunks_per_batch=80, n_buckets=8,
+    # ONE throughput-sized batch (a real deployment batches gigabytes;
+    # micro-batch resume is exercised in tests/) — each extra batch pays
+    # a fixed ~6 s of merge/plan machinery regardless of data volume
+    table = replay(spark, d, lake, chunks_per_batch=None, n_buckets=8,
                    lineage=False, minimal_images=True)
     state = table.read(spark)
     return (state.select("repo", "path", "commit", "lang",
@@ -266,5 +266,6 @@ def binlog_multi_minimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _multi_minimal_fixture(sf_dir)
     lake = f"{d}_lake"
     shutil.rmtree(lake, ignore_errors=True)
-    tables = replay_generic(spark, d, lake, chunks_per_batch=64)
+    # one throughput-sized batch — see binlog_minimal_state's note
+    tables = replay_generic(spark, d, lake, chunks_per_batch=None)
     return _render_tables(spark, tables)

@@ -89,7 +89,8 @@ def stream_apply(spark: SparkSession, dump_dir: str, table_root: str,
         if minimal_images:
             upserts = reduce_changes_minimal(
                 events, extra_names=extra_names,
-                broadcast_winners=broadcast_winners)
+                broadcast_winners=broadcast_winners,
+                key_events=decode_keys(batch_df))
         else:
             keys = decode_keys(batch_df)
             upserts = reduce_changes(events, salt_buckets=salt_buckets,

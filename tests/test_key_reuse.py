@@ -169,3 +169,65 @@ def test_randomized_reuse_no_broadcast(spark, reuse_dump, tmp_path):
     got, _ = _replay_digest(spark, reuse_dump, tmp_path, "rrnb_lake",
                             broadcast_winners=False)
     assert got == want
+
+
+def test_randomized_reuse_distributed_closure(spark, reuse_dump, tmp_path,
+                                              monkeypatch):
+    """Force the >cap distributed closure arm (cap=0): identical digest
+    to the default driver-side closure over the same adversarial dump."""
+    import binlog_spark.cdc.pipeline as P
+    monkeypatch.setattr(P, "DRIVER_CLOSURE_CAP", 0)
+    want = oracle.state_digest(oracle.final_state(reuse_dump))
+    got, _ = _replay_digest(spark, reuse_dump, tmp_path, "rrdist_lake",
+                            chunks_per_batch=6)
+    assert got == want
+
+
+def test_move_free_fast_path(spark, tmp_path):
+    """A batch with zero key-moves takes the lineage-free fast path
+    (no remap joins, no origin) and must still match the oracle."""
+    changes = [
+        I("org/e", "a.py", "c1", content="one"),
+        # commit-only patch (unchanged cols absent from the after image)
+        Change("U", "org/e", "a.py", "c2", "py", "one"),
+        I("org/e", "b.py", "c3", content="three"),
+        Change("D", "org/e", "b.py"),
+        I("org/e", "c.py", "c4", content="four"),
+        Change("U", "org/e", "c.py", "c5", "go", "four"),
+    ]
+    dump = _gen_static(tmp_path, "nomove", changes)
+    got, table = _replay_digest(spark, dump, tmp_path, "nomove_lake")
+    assert got == oracle.state_digest(oracle.final_state(dump))
+    live = {(r.repo, r.path): r for r in table.read(spark).collect()}
+    assert live[("org/e", "a.py")].commit == "c2"
+    assert live[("org/e", "a.py")].content == "one"
+    assert ("org/e", "b.py") not in live
+    assert live[("org/e", "c.py")].lang == "go"
+    assert live[("org/e", "c.py")].content == "four"
+
+
+def test_driver_closure_long_chain_and_cycle():
+    """_close_moves_driver follows chains of any length — the distributed
+    arm's 15-hop cap does not apply — and terminates on apparent cycles
+    (each hop strictly raises in_ord, so revisiting a key consumes a
+    later window; no infinite loop is reachable)."""
+    from collections import namedtuple
+
+    from binlog_spark.cdc.pipeline import _close_moves_driver
+    E = namedtuple("E", "f_r f_p lo_ord m_ord t_r t_p")
+    # k0 -> k1 -> ... -> k40: 40 hops, one chain
+    edges = [E("r", f"k{i}", -1, 100 + i, "r", f"k{i + 1}")
+             for i in range(40)]
+    remap, min_in, origin = _close_moves_driver(edges)
+    # every edge resolves to the chain's final key and arrival order
+    # remap rows: (f_r, f_p, m_ord, t_r, t_p, in_ord, lo_ord, arr_ord)
+    assert all((r[3], r[4], r[5]) == ("r", "k40", 139) for r in remap)
+    assert min_in == [("r", "k40", 139)]
+    assert origin == [("r", "k40", "r", "k0")]
+    # a↔b ping-pong: every hop consumes a strictly-later window, so the
+    # walk terminates at the last move's target rather than looping
+    cyc = [E("r", "a", -1, 10, "r", "b"), E("r", "b", -1, 20, "r", "a"),
+           E("r", "a", 10, 30, "r", "b"), E("r", "b", 20, 40, "r", "a")]
+    remap, min_in, origin = _close_moves_driver(cyc)
+    assert all((r[3], r[4], r[5]) == ("r", "a", 40) for r in remap)
+    assert origin == [("r", "a", "r", "a")]
