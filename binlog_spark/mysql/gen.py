@@ -253,6 +253,10 @@ class Manifest:
     chunks: list[tuple[str, int, int]] = field(default_factory=list)
     n_changes: int = 0
     n_transactions: int = 0
+    # every framed event (FDE/ROTATE/GTID/QUERY/TABLE_MAP/ROWS/XID/...):
+    # the work-proportional denominator for decode throughput (a fixture
+    # with more statement frames per change is more work per change)
+    n_frames: int = 0
 
 
 class BinlogWriter:
@@ -324,6 +328,7 @@ class BinlogWriter:
                            with_checksum=self.cfg.checksum)
         self.fh.write(ev)
         self.pos += size
+        self.manifest.n_frames += 1
 
     def _cut_chunk(self) -> None:
         if self.pos > self._chunk_start:
@@ -597,6 +602,7 @@ def generate(out_dir: str, cfg: GenConfig | None = None,
             "chunks": w.manifest.chunks,
             "n_changes": w.manifest.n_changes,
             "n_transactions": w.manifest.n_transactions,
+            "n_frames": w.manifest.n_frames,
         }, f)
     final = script.final_state()
     with open(os.path.join(out_dir, "final_state.jsonl"), "w") as f:
