@@ -160,8 +160,12 @@ def spark_type_for(mysql_type: int, meta: int, unsigned: int) -> str:
     time-of-day type); BIT/SET masks and ENUM ordinals stay integers;
     binary blobs stay hex strings."""
     from .. import constants as C
+    # unsigned branch is uniform across the int family: every type's
+    # unsigned range must fit the mapped Spark type (unsigned TINY 255 /
+    # SHORT 65535 / INT24 16777215 all fit int; unsigned LONG needs
+    # long; unsigned LONGLONG needs decimal(20,0))
     if mysql_type in (C.TYPE_TINY, C.TYPE_SHORT, C.TYPE_INT24):
-        return "int"
+        return "int"  # unsigned or not — max 2^24-1 < 2^31
     if mysql_type == C.TYPE_LONG:
         return "long" if unsigned else "int"
     if mysql_type == C.TYPE_LONGLONG:

@@ -646,17 +646,26 @@ def release_minimal(upserts: DataFrame) -> None:
 
 
 def flatten_extras(upserts: DataFrame,
-                   names: list[str] | None = None) -> tuple[DataFrame, list[str]]:
+                   names: list[str] | None = None, *,
+                   discover: bool = False) -> tuple[DataFrame, list[str]]:
     """Promote schema-evolution extras (the ``extra_json`` map) to real
     columns.
 
     Pass ``names`` when known (see ``scan_extra_columns`` — a driver-side
-    TABLE_MAP scan); otherwise a distinct-key probe runs, which EXECUTES
-    the upsert pipeline once — fine for small streaming batches, wasteful
-    for big replays."""
+    TABLE_MAP scan, milliseconds — or ``scan_extra_columns_blobs`` for
+    streaming micro-batches).  The name-less fallback is a distinct-key
+    probe that EXECUTES the upsert pipeline once just to discover column
+    names; it must be requested explicitly with ``discover=True`` so a
+    caller can't pay that execution by accident."""
     if "extra_json" not in upserts.columns:
         return upserts, []
     if names is None:
+        if not discover:
+            raise ValueError(
+                "flatten_extras: no column names given; pass names from "
+                "scan_extra_columns/scan_extra_columns_blobs (driver-side"
+                " TABLE_MAP scan), or opt into the pipeline-executing "
+                "probe with discover=True")
         names = sorted(
             r[0] for r in upserts
             .filter(F.col("extra_json").isNotNull())
@@ -746,15 +755,18 @@ def scan_extra_columns_blobs(blobs: DataFrame) -> list[str]:
 
 
 def final_state(upserts: DataFrame,
-                extra_names: list[str] | None = None) -> DataFrame:
+                extra_names: list[str] | None = None, *,
+                discover: bool = False) -> DataFrame:
     """Terminal state of an empty-start replay: drop tombstones, promote
     schema-evolution extras.
 
     Pass ``extra_names`` (from the driver-side TABLE_MAP scan,
-    scan_extra_columns) whenever the chunk spans are at hand — the
+    scan_extra_columns) whenever the chunk spans are at hand; the
     name-less fallback probe EXECUTES the upsert pipeline once just to
-    discover column names."""
-    flat, extras = flatten_extras(upserts, names=extra_names)
+    discover column names and must be opted into with
+    ``discover=True`` (see flatten_extras)."""
+    flat, extras = flatten_extras(upserts, names=extra_names,
+                                  discover=discover)
     return (flat.filter(F.col("op") != "D")
             .select(*KEY_COLS, *DATA_COLS, *extras))
 

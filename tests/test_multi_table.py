@@ -139,3 +139,18 @@ def test_typed_table_compact_preserves_types_and_state(spark, dump,
     assert after == before == oracle_state[("inventory", "order_lines")]
     assert dict(t.read(spark).dtypes) == dtypes_before
     assert dtypes_before["qty"] == "int"
+
+
+def test_spark_type_for_unsigned_extremes(spark):
+    """Every int-family member's UNSIGNED max must fit its mapped lake
+    type (TINY/SHORT/INT24 share 'int' — max 2^24-1 < 2^31; LONG widens
+    to long; LONGLONG to decimal(20,0))."""
+    from binlog_spark import constants as C
+    from binlog_spark.cdc.multi import spark_type_for
+    cases = [(C.TYPE_TINY, 255), (C.TYPE_SHORT, 65535),
+             (C.TYPE_INT24, (1 << 24) - 1), (C.TYPE_LONG, (1 << 32) - 1),
+             (C.TYPE_LONGLONG, (1 << 64) - 1)]
+    for typ, v in cases:
+        t = spark_type_for(typ, 0, 1)
+        got = spark.sql(f"select cast('{v}' as {t}) as v").first().v
+        assert got is not None and int(got) == v, (typ, t, v, got)

@@ -45,7 +45,7 @@ def test_decoder_carries_extras(spark, evolved_dump):
 def test_reduce_promotes_extras_and_matches_oracle(spark, evolved_dump,
                                                    evolved_digest):
     events = decode_changes(chunks_df(spark, evolved_dump))
-    state = final_state(reduce_changes(events))
+    state = final_state(reduce_changes(events), discover=True)
     assert "branch" in state.columns
     assert state_fingerprint(state) == evolved_digest
 

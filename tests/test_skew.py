@@ -44,10 +44,10 @@ def test_skewed_parity_default_and_salted(spark, hot_dump):
     ev = decode_changes(cdf)
     keys = decode_keys(cdf)
     got = state_fingerprint(final_state(
-        reduce_changes(ev, key_events=keys)))
+        reduce_changes(ev, key_events=keys), extra_names=[]))
     assert got == want
     got_salted = state_fingerprint(final_state(
-        reduce_changes(ev, key_events=keys, salt_buckets=16)))
+        reduce_changes(ev, key_events=keys, salt_buckets=16), extra_names=[]))
     assert got_salted == want
 
 
@@ -59,5 +59,5 @@ def test_shuffle_winner_join_parity(spark, hot_dump):
     cdf = chunks_df(spark, hot_dump)
     got = state_fingerprint(final_state(
         reduce_changes(decode_changes(cdf), key_events=decode_keys(cdf),
-                       broadcast_winners=False)))
+                       broadcast_winners=False), extra_names=[]))
     assert got == want

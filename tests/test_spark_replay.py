@@ -45,13 +45,14 @@ def test_decode_counts_match_oracle(spark, dump_dir):
 
 def test_reduce_matches_oracle_digest(spark, dump_dir, oracle_digest):
     events = decode_changes(chunks_df(spark, dump_dir))
-    state = final_state(reduce_changes(events))
+    state = final_state(reduce_changes(events), extra_names=[])
     assert state_fingerprint(state) == oracle_digest
 
 
 def test_salted_reduce_same_digest(spark, dump_dir, oracle_digest):
     events = decode_changes(chunks_df(spark, dump_dir))
-    state = final_state(reduce_changes(events, salt_buckets=8))
+    state = final_state(reduce_changes(events, salt_buckets=8),
+                        extra_names=[])
     assert state_fingerprint(state) == oracle_digest
 
 
