@@ -72,7 +72,7 @@ def with_key_change_tombstones(events: DataFrame) -> DataFrame:
 #: forces SortAggregate in Spark).  Bounds: ≤262k binlog files, ≤1 GiB per
 #: file, seq clamped at 32767 (ties beyond that break arbitrarily — only
 #: reachable for >32k-row single-key transactions).
-def pack_ord(*, strict: bool = True) -> F.Column:
+def pack_ord(*, strict: bool = True, wide: bool = False) -> F.Column:
     """``strict=True`` (the CDC pipeline): plain branch-free arithmetic —
     the bounds (numeric log_file suffix, file offsets < 2^30, file number
     < 2^18) are enforced ONCE PER CHUNK at read time
@@ -81,8 +81,33 @@ def pack_ord(*, strict: bool = True) -> F.Column:
     raise_error branch cost ~60% of the reduce).  ``strict=False`` (lake
     MERGE over rows that may predate CDC metadata): invalid offsets pack
     to 0, the lowest order, so such rows lose to any real CDC row but are
-    never dropped via a null key."""
-    file_no = F.regexp_extract("log_file", r"(\d+)$", 1).cast("long")
+    never dropped via a null key.
+
+    ``wide=True``: DECIMAL(38,0) order ``(file_no‖log_pos)·2^32 + seq``
+    with NO seq clamp, for single transactions beyond 32767 rows on one
+    key (the reference streams rows lazily and has no such limit —
+    /root/reference/rbr.go:308-350).  Decimal aggregation buffers are
+    fixed-width, so the winner search stays a HashAggregate; replay
+    auto-enables this when the dump's manifest records
+    ``max_tx_rows > 32767``, and callers of foreign dumps opt in via
+    ``reduce_changes(..., wide_order=True)``."""
+    raw_no = F.regexp_extract("log_file", r"(\d+)$", 1)
+    # non-strict rows may carry a non-numeric log_file (pre-CDC lake
+    # rows default to ""): try_cast yields null instead of an ANSI cast
+    # error, and the validity branch packs those to 0
+    file_no = raw_no.cast("long") if strict else raw_no.try_cast("long")
+    if wide:
+        hi = (F.shiftleft(file_no, 30) + F.col("log_pos")) \
+            .cast("decimal(20,0)")
+        packed = (hi * F.lit(4294967296).cast("decimal(20,0)")
+                  + F.col("seq_in_tx").cast("long")).cast("decimal(38,0)")
+        if strict:
+            return packed.alias("_ord")
+        valid = (file_no.isNotNull() & (file_no < F.lit(1 << 18))
+                 & (F.col("log_pos") >= 0)
+                 & (F.col("log_pos") < F.lit(1 << 30)))
+        return F.when(valid, packed) \
+            .otherwise(F.lit(0).cast("decimal(38,0)")).alias("_ord")
     seq = F.least(F.col("seq_in_tx").cast("long"), F.lit(32767))
     packed = (F.shiftleft(file_no, 45)
               + F.shiftleft(F.col("log_pos"), 15) + seq)
@@ -99,7 +124,8 @@ _OUT_COLS = (*KEY_COLS, "op", *DATA_COLS, "extra_json", *ORDER_COLS,
 
 def last_writer_wins(events: DataFrame, *, salt_buckets: int = 0,
                      key_events: DataFrame | None = None,
-                     broadcast_winners: bool = True) -> DataFrame:
+                     broadcast_winners: bool = True,
+                     wide_order: bool = False) -> DataFrame:
     """Reduce the change stream to one winning record per (repo, path).
 
     Strategy (late materialization): the winner *order* per key is found
@@ -122,7 +148,7 @@ def last_writer_wins(events: DataFrame, *, salt_buckets: int = 0,
     pathological case and applies a two-stage max on the packed order.
     """
     keys = key_events if key_events is not None else events
-    keys = keys.withColumn("_ord", pack_ord())
+    keys = keys.withColumn("_ord", pack_ord(wide=wide_order))
     if salt_buckets > 0:
         salted = keys.withColumn(
             "_salt", F.pmod(F.xxhash64("log_pos", "seq_in_tx"),
@@ -135,7 +161,7 @@ def last_writer_wins(events: DataFrame, *, salt_buckets: int = 0,
         winners = keys.groupBy(*KEY_COLS).agg(F.max("_ord").alias("_ord"))
     if broadcast_winners:
         winners = F.broadcast(winners)
-    full = events.withColumn("_ord", pack_ord())
+    full = events.withColumn("_ord", pack_ord(wide=wide_order))
     joined = full.join(winners, on=[*KEY_COLS, "_ord"], how="inner")
     # identical redelivered replicas share (key, _ord): keep one
     return (joined.dropDuplicates(list(KEY_COLS))
@@ -145,7 +171,8 @@ def last_writer_wins(events: DataFrame, *, salt_buckets: int = 0,
 def reduce_changes(events: DataFrame, *, salt_buckets: int = 0,
                    dedup: bool = False,
                    key_events: DataFrame | None = None,
-                   broadcast_winners: bool = True) -> DataFrame:
+                   broadcast_winners: bool = True,
+                   wide_order: bool = False) -> DataFrame:
     """Full reduction: quarantine → [dedup] → tombstones → last-writer-wins.
 
     Output: one row per touched key with ``op`` in {I,U,D} — exactly the
@@ -170,7 +197,8 @@ def reduce_changes(events: DataFrame, *, salt_buckets: int = 0,
         key_good = None
     return last_writer_wins(good, salt_buckets=salt_buckets,
                             key_events=key_good,
-                            broadcast_winners=broadcast_winners)
+                            broadcast_winners=broadcast_winners,
+                            wide_order=wide_order)
 
 
 def reduce_changes_minimal(events: DataFrame,

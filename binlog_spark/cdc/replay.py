@@ -68,7 +68,8 @@ def replay(spark: SparkSession, dump_dir: str, table_root: str, *,
            compact_every: int | None = None,
            compact_tombstone_ratio: float | None = None,
            minimal_images: bool = False,
-           broadcast_winners: bool = True) -> LakeTable:
+           broadcast_winners: bool = True,
+           wide_order: bool | None = None) -> LakeTable:
     """Replay a dump dir into a lake table; safe to re-run (idempotent).
 
     ``compact_every`` / ``compact_tombstone_ratio``: retention policy —
@@ -80,7 +81,22 @@ def replay(spark: SparkSession, dump_dir: str, table_root: str, *,
     binlog_row_image=MINIMAL — partial after-images are column PATCHES;
     the reduction runs per column (reduce_changes_minimal) and the MERGE
     coalesces unresolved columns from the existing rows.
+
+    ``wide_order``: DECIMAL order key with no 32767 seq clamp, for
+    single transactions beyond 32k rows on one key (pack_ord wide).
+    None (default) auto-enables from the dump manifest's
+    ``max_tx_rows``; pass True explicitly for foreign dumps without a
+    manifest.  Chunk spans are transaction-aligned, so a transaction
+    never splits across batches and the lake MERGE's cross-batch winner
+    search stays on the narrow packed BIGINT.
     """
+    if wide_order is None:
+        try:
+            from ..decoder.chunks import read_manifest
+            wide_order = read_manifest(dump_dir).get(
+                "max_tx_rows", 0) > 32767
+        except (OSError, ValueError, KeyError):
+            wide_order = False
     table = LakeTable(table_root, n_buckets=n_buckets)
     table.create()
     all_chunks = [tuple(r) for r in
@@ -114,7 +130,8 @@ def replay(spark: SparkSession, dump_dir: str, table_root: str, *,
             keys = decode_keys(cdf, partitions=partitions)
             upserts = reduce_changes(events, salt_buckets=salt_buckets,
                                      key_events=keys,
-                                     broadcast_winners=broadcast_winners)
+                                     broadcast_winners=broadcast_winners,
+                                     wide_order=wide_order)
             upserts, _new_cols = flatten_extras(upserts, names=extra_names)
         last_file = max(s[1] for s in spans)
         last_end = max(s[2] + s[3] for s in spans if s[1] == last_file)

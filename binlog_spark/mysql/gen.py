@@ -257,6 +257,10 @@ class Manifest:
     # the work-proportional denominator for decode throughput (a fixture
     # with more statement frames per change is more work per change)
     n_frames: int = 0
+    # largest row count in any one transaction: > 32767 means the packed
+    # BIGINT order key's seq clamp could mis-tie-break and replay should
+    # auto-enable the wide DECIMAL order (cdc.pipeline.pack_ord wide=True)
+    max_tx_rows: int = 0
 
 
 class BinlogWriter:
@@ -380,6 +384,9 @@ class BinlogWriter:
                                         gtid, ev_type, rows, before))
         self._emit(C.XID_EVENT, E.xid_body(gno))
         self.manifest.n_transactions += 1
+        self.manifest.max_tx_rows = max(
+            self.manifest.max_tx_rows,
+            sum(len(stmt[1]) for stmt in stmts))
         # chunk cut at transaction boundary once target size reached
         if self.pos - self._chunk_start >= self.chunk_target:
             self._cut_chunk()
@@ -603,6 +610,7 @@ def generate(out_dir: str, cfg: GenConfig | None = None,
             "n_changes": w.manifest.n_changes,
             "n_transactions": w.manifest.n_transactions,
             "n_frames": w.manifest.n_frames,
+            "max_tx_rows": w.manifest.max_tx_rows,
         }, f)
     final = script.final_state()
     with open(os.path.join(out_dir, "final_state.jsonl"), "w") as f:
