@@ -203,6 +203,32 @@ def _bit_slice(v: int, bits: int, off: int, ln: int) -> int:
     return (v >> (bits - (off + ln))) & ((1 << ln) - 1)
 
 
+#: negative-TIME2 decode mode.  Default False = reference parity,
+#: including its "weird duration behavior" (+1s on negative whole
+#: minutes, /root/reference/types.go:279-281).  True = exact MySQL
+#: semantics (two's complement over the whole stored quantity); flip
+#: with ``time2_fidelity()``.
+TIME2_FIDELITY = False
+
+
+def time2_fidelity(on: bool = True):
+    """Context manager switching negative-TIME2 decode to exact MySQL
+    semantics (see TIME2_FIDELITY).  Worker-side code must set it inside
+    the worker (module state does not ship to executors)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        global TIME2_FIDELITY
+        prev = TIME2_FIDELITY
+        TIME2_FIDELITY = on
+        try:
+            yield
+        finally:
+            TIME2_FIDELITY = prev
+    return _cm()
+
+
 def _frac(cur: Cur, meta: int) -> int:
     n = (meta + 1) // 2
     if n == 0:
@@ -352,6 +378,29 @@ def decode_value(col: Col, cur: Cur) -> Any:
         return _dt.datetime.fromtimestamp(sec, tz=_EPOCH).replace(
             tzinfo=None) + _dt.timedelta(microseconds=frac)
     if t == C.TYPE_TIME2:
+        if TIME2_FIDELITY:
+            # fidelity mode: the stored (3+n)-byte quantity is ONE
+            # two's-complement number offset by 2^(bits-1) — exactly
+            # what MySQL writes (my_time_packed_from_binary).  The
+            # reference's per-field inversion compensates only one
+            # borrow, so negative whole-minute TIMEs (sec==0, frac==0)
+            # decode off by a field there; this path reassembles
+            # abs(stored − offset) and is exact for every value.
+            n = (col.meta + 1) // 2
+            raw = cur.be(3)
+            fv = cur.be(n) if n else 0
+            bits = (3 + n) * 8
+            full = ((raw << (8 * n)) | fv) - (1 << (bits - 1))
+            mag = -full if full < 0 else full
+            frac = ((mag & ((1 << (8 * n)) - 1)) * (100 ** (3 - n))
+                    if n else 0)
+            ipart = mag >> (8 * n)
+            hour = (ipart >> 12) & ((1 << 10) - 1)
+            minute = (ipart >> 6) & 63
+            sec = ipart & 63
+            micros = ((hour * 3600 + minute * 60 + sec) * 1_000_000
+                      + frac)
+            return -micros if full < 0 else micros
         tv = cur.be(3)
         sign = _bit_slice(tv, 24, 0, 1)
         hour = _bit_slice(tv, 24, 2, 10)

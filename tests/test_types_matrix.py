@@ -203,3 +203,54 @@ def test_null_bitmap_roundtrip():
     nulls = [True, False, False, True, False, True, True, False, True, False]
     bm = E.null_bitmap(nulls)
     assert [bitmap_is_set(bm, i) for i in range(len(nulls))] == nulls
+
+
+# --- negative-TIME2 fidelity mode (ROADMAP item, round 4) -----------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _time2_values(draw):
+    meta = draw(st.sampled_from([0, 2, 4, 6]))
+    h = draw(st.integers(0, 838))
+    m = draw(st.integers(0, 59))
+    s = draw(st.integers(0, 59))
+    step = 100 ** (3 - (meta + 1) // 2) if meta else 1_000_000
+    frac = draw(st.integers(0, (1_000_000 // step) - 1)) * step if meta else 0
+    neg = draw(st.booleans())
+    v = (h * 3600 + m * 60 + s) * 1_000_000 + frac
+    return (-v if neg else v), meta
+
+
+@settings(max_examples=300, deadline=None)
+@given(_time2_values())
+def test_time2_fidelity_roundtrips_exactly(case):
+    """Fidelity mode: decode(encode(v)) == v for EVERY value, including
+    the negative whole minutes the reference decodes off by a field."""
+    from binlog_spark.mysql.decode import time2_fidelity
+    v, meta = case
+    with time2_fidelity():
+        assert roundtrip(_c(C.TYPE_TIME2, meta=meta), v) == v
+
+
+@settings(max_examples=300, deadline=None)
+@given(_time2_values())
+def test_time2_default_keeps_reference_parity(case):
+    """Default mode mirrors the reference: exact for every value EXCEPT
+    negative whole minutes (sec==0, frac==0), where the per-field
+    inversion's un-rippled borrow mis-decodes (types.go:279-281's own
+    "weird duration behavior") — there the default must deviate while
+    fidelity mode stays exact."""
+    from binlog_spark.mysql.decode import time2_fidelity
+    v, meta = case
+    got = roundtrip(_c(C.TYPE_TIME2, meta=meta), v)
+    sec = (abs(v) // 1_000_000) % 60
+    frac = abs(v) % 1_000_000
+    if v < 0 and sec == 0 and frac == 0 and abs(v) > 0:
+        assert got != v  # inherited reference quirk, on purpose
+        with time2_fidelity():
+            assert roundtrip(_c(C.TYPE_TIME2, meta=meta), v) == v
+    else:
+        assert got == v
