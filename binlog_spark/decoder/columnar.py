@@ -181,11 +181,12 @@ def compile_column(col, mode: str):
         lw = meta
 
         def rd(b, pos, lw=lw):
-            from ..mysql.jsonb import decode_jsonb
+            # direct JSONB→text render: no intermediate dict tree, no
+            # json.dumps re-walk (byte-identical output; jsonb.render_json)
+            from ..mysql.jsonb import render_json
             ln = int.from_bytes(b[pos:pos + lw], "little")
             pos += lw
-            s = _json.dumps(decode_jsonb(bytes(b[pos:pos + ln])),
-                            separators=(",", ":"), sort_keys=False)
+            s = render_json(bytes(b[pos:pos + ln]))
             return (_esc(s) if as_json else s), pos + ln
         return rd
 
@@ -368,10 +369,10 @@ def _emit_cell(i: int, col, mode: str, env: dict) -> list[str]:
     if t == C.TYPE_NEWDECIMAL:
         precision, scale = col.meta & 0xFF, col.meta >> 8
         integral = precision - scale
+        comp = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
         if integral <= 9 and scale <= 9:
             # single compressed group each side: inline the unpack
             # (semantics of mysql.decode.decode_decimal)
-            comp = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
             ci, cf = comp[integral], comp[scale]
             size = ci + cf
             top = 1 << (size * 8 - 1)
@@ -388,7 +389,50 @@ def _emit_cell(i: int, col, mode: str, env: dict) -> list[str]:
                 f"u ^= {top}",
                 f"u = ~u & {mask} if neg else u",
                 f"v{i} = {q0}('-' if neg else '') + {fmt}{q1}")
-        # multi-group decimals fall through to the helper
+        # multi-group: inline the base-10^9 group decomposition too
+        # (byte-exact with mysql.decode.decode_decimal incl. the lstrip;
+        # the reference decodes these inline as well, types.go:395-463)
+        ui, uf = integral // 9, scale // 9
+        ci, cf = integral - ui * 9, scale - uf * 9
+        size = ui * 4 + comp[ci] + uf * 4 + comp[cf]
+        bits = size * 8
+        top, mask = 1 << (bits - 1), (1 << bits) - 1
+        o = 0
+        int_terms, frac_terms = [], []
+        if comp[ci]:
+            sh = 8 * (size - o - comp[ci])
+            int_terms.append(
+                f"str((u >> {sh}) & {(1 << (8 * comp[ci])) - 1})")
+            o += comp[ci]
+        else:
+            int_terms.append("'0'")
+        for _ in range(ui):
+            sh = 8 * (size - o - 4)
+            int_terms.append(f"'%09d' % ((u >> {sh}) & 4294967295)")
+            o += 4
+        for _ in range(uf):
+            sh = 8 * (size - o - 4)
+            frac_terms.append(f"'%09d' % ((u >> {sh}) & 4294967295)")
+            o += 4
+        if comp[cf]:
+            sh = 8 * (size - o - comp[cf])
+            frac_terms.append(
+                f"'%0{cf}d' % ((u >> {sh}) & {(1 << (8 * comp[cf])) - 1})")
+            o += comp[cf]
+        q0, q1 = ("'\"' + ", " + '\"'") if as_json else ("", "")
+        lines_ = [
+            f"u = int.from_bytes(b[pos:pos+{size}], 'big'); pos += {size}",
+            f"neg = not (u & {top})",
+            f"u ^= {top}",
+            f"u = ~u & {mask} if neg else u",
+            f"s_ = ({' + '.join(int_terms)}).lstrip('0') or '0'",
+        ]
+        if frac_terms:
+            lines_.append(f"v{i} = {q0}('-' if neg else '') + s_ + '.' + "
+                          f"{' + '.join(frac_terms)}{q1}")
+        else:
+            lines_.append(f"v{i} = {q0}('-' if neg else '') + s_{q1}")
+        return body(*lines_)
 
     if t in (C.TYPE_DATETIME2, C.TYPE_TIMESTAMP2):
         n = (col.meta + 1) // 2

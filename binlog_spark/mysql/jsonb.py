@@ -184,6 +184,87 @@ def _custom(data: bytes) -> object:
 
 
 # ---------------------------------------------------------------------------
+# direct JSON-text renderer (the columnar decode hot path)
+# ---------------------------------------------------------------------------
+
+import json as _json
+
+_esc = _json.encoder.encode_basestring_ascii  # C-accelerated
+
+
+def render_json(buf: bytes) -> str:
+    """JSONB → compact JSON text, byte-identical to
+    ``json.dumps(decode_jsonb(buf), separators=(",", ":"))`` but without
+    building the intermediate dict/list tree or re-walking it — one
+    recursive pass emitting string fragments (the reference renders
+    inline the same way, json.go:33-120)."""
+    if len(buf) == 0:
+        return "null"
+    return _render(buf[0], buf[1:])
+
+
+def _render_float(v: float) -> str:
+    # json.dumps: float.__repr__ for finite, Infinity/NaN otherwise
+    if v != v:
+        return "NaN"
+    if v == float("inf"):
+        return "Infinity"
+    if v == float("-inf"):
+        return "-Infinity"
+    return repr(v)
+
+
+def _render(typ: int, data: bytes) -> str:
+    if typ in (_SMALL_OBJECT, _LARGE_OBJECT):
+        return _render_composite(data, large=typ == _LARGE_OBJECT,
+                                 is_object=True)
+    if typ in (_SMALL_ARRAY, _LARGE_ARRAY):
+        return _render_composite(data, large=typ == _LARGE_ARRAY,
+                                 is_object=False)
+    if typ == _LITERAL:
+        return ("null", "true", "false")[data[0]] if data[0] <= 2 else \
+            _literal(data[0])  # raises on invalid
+    if typ == _DOUBLE:
+        return _render_float(struct.unpack_from("<d", data)[0])
+    if typ == _STRING:
+        n, off = _varlen(data)
+        return _esc(data[off:off + n].decode("utf-8", "replace"))
+    if typ == _CUSTOM:
+        return _esc(_custom(data))
+    # the remaining markers are the int family
+    return str(_value(typ, data))
+
+
+def _render_composite(data: bytes, *, large: bool, is_object: bool) -> str:
+    w = 4 if large else 2
+    fmt = "<I" if large else "<H"
+    u = struct.unpack_from
+    count = u(fmt, data, 0)[0]
+    off = 2 * w
+    parts: list[str] = []
+    if is_object:
+        for i in range(count):
+            koff = u(fmt, data, off + i * (w + 2))[0]
+            klen = u("<H", data, off + i * (w + 2) + w)[0]
+            parts.append(
+                _esc(data[koff:koff + klen].decode("utf-8", "replace")))
+        off += count * (w + 2)
+    vals: list[str] = []
+    for i in range(count):
+        vtyp = data[off + i * (w + 1)]
+        ventry = off + i * (w + 1) + 1
+        if vtyp in (_LITERAL, _INT16, _UINT16) or \
+                (large and vtyp in (_INT32, _UINT32)):
+            vals.append(_render(vtyp, data[ventry:ventry + w]))
+        else:
+            voff = u(fmt, data, ventry)[0]
+            vals.append(_render(vtyp, data[voff:]))
+    if is_object:
+        return "{" + ",".join(f"{k}:{v}" for k, v in zip(parts, vals)) + "}"
+    return "[" + ",".join(vals) + "]"
+
+
+# ---------------------------------------------------------------------------
 # encoder (fixture generator side — the server's role in round-trip tests)
 # ---------------------------------------------------------------------------
 

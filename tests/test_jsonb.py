@@ -108,3 +108,75 @@ def test_encode_roundtrip_property():
         assert decode_jsonb(encode_jsonb(v)) == v
 
     check()
+
+
+def test_render_json_matches_dumps_property():
+    """The direct JSONB→text renderer (columnar hot path) must be
+    byte-identical to json.dumps over the decoded tree."""
+    import json
+
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    from binlog_spark.mysql.jsonb import (decode_jsonb, encode_jsonb,
+                                          render_json)
+
+    scalars = st.one_of(
+        st.none(), st.booleans(),
+        st.integers(min_value=-(1 << 63), max_value=(1 << 64) - 1),
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.text(max_size=40))
+    values = st.recursive(
+        scalars,
+        lambda s: st.one_of(
+            st.lists(s, max_size=6),
+            st.dictionaries(st.text(max_size=12), s, max_size=6)),
+        max_leaves=25)
+
+    @settings(max_examples=200, deadline=None)
+    @given(values)
+    def check(v):
+        buf = encode_jsonb(v)
+        want = json.dumps(decode_jsonb(buf), separators=(",", ":"),
+                          sort_keys=False)
+        assert render_json(buf) == want
+
+    check()
+
+
+def test_compiled_multigroup_decimal_matches_decode_decimal():
+    """The inlined multi-group DECIMAL codegen must be byte-exact with
+    mysql.decode.decode_decimal across precisions/scales/signs."""
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    from binlog_spark import constants as C
+    from binlog_spark.decoder.columnar import compile_event_reader
+    from binlog_spark.mysql import encode as E
+    from binlog_spark.mysql.decode import (Cur, decode_decimal,
+                                           parse_table_map)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(10, 38), st.data())
+    def check(precision, data):
+        scale = data.draw(st.integers(0, min(precision, 30)))
+        digits = data.draw(st.text("0123456789", min_size=1,
+                                   max_size=precision - scale or 1))
+        frac = data.draw(st.text("0123456789", min_size=scale,
+                                 max_size=scale)) if scale else ""
+        neg = data.draw(st.booleans())
+        lit = (("-" if neg else "") + (digits.lstrip("0") or "0")
+               + (("." + frac) if frac else ""))
+        coldef = E.ColumnDef("d", C.TYPE_NEWDECIMAL,
+                             meta=(scale << 8) | precision)
+        cell = E.encode_value(coldef, lit)
+        want = decode_decimal(cell, precision, scale)
+        # run the compiled whole-event reader over a 1-column write row
+        tme_body = E.table_map_body(7, "s", "t", [coldef], pk=())
+        tme = parse_table_map(Cur(memoryview(tme_body)))
+        rd = compile_event_reader(tme, b"\x01", None, "vals")
+        body = bytes([0x00]) + cell  # null bitmap (1 col, not null) + cell
+        _pos, _before, after = rd(memoryview(body), 0, len(body))
+        assert after[0][0] == want, (precision, scale, lit)
+
+    check()
