@@ -160,7 +160,12 @@ def last_writer_wins(events: DataFrame, *, salt_buckets: int = 0,
     else:
         winners = keys.groupBy(*KEY_COLS).agg(F.max("_ord").alias("_ord"))
     if broadcast_winners:
-        winners = F.broadcast(winners)
+        # as a bare broadcast child the winner agg's FINAL step runs as
+        # ONE collect task merging every map task's combine output
+        # (measured 2-4 s serial at sf0.1); the lazy local checkpoint
+        # materializes the aggregation distributed and the broadcast
+        # builds from its blocks instead
+        winners = F.broadcast(winners.localCheckpoint(eager=False))
     full = events.withColumn("_ord", pack_ord(wide=wide_order))
     joined = full.join(winners, on=[*KEY_COLS, "_ord"], how="inner")
     # identical redelivered replicas share (key, _ord): keep one
