@@ -259,7 +259,10 @@ def table_upserts(staged: DataFrame, columns: list[str], pk: list[str],
     keyed = events.withColumn("_ord", pack_ord())
     winners = keyed.groupBy(*pk).agg(F.max("_ord").alias("_ord"))
     if broadcast_winners:
-        winners = F.broadcast(winners)
+        # checkpoint before broadcasting: a bare broadcast child runs
+        # its final aggregation as one serial collect task (see
+        # cdc.pipeline.last_writer_wins)
+        winners = F.broadcast(winners.localCheckpoint(eager=False))
     return (keyed.join(winners, on=[*pk, "_ord"], how="inner")
             .dropDuplicates(list(pk))
             .select(*pk, "op", *payload, *_META, "gtid", "ts_sec"))

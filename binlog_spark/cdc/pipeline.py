@@ -596,12 +596,21 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
     ev = ev.localCheckpoint(eager=False)
     alive = ev.filter(~F.col("_dead"))
 
+    def bhint(df: DataFrame) -> DataFrame:
+        """Broadcast a per-key aggregate.  Checkpoint first: a bare
+        broadcast child runs its FINAL aggregation as one serial collect
+        task over every map task's combine output (see
+        last_writer_wins); the lazy checkpoint keeps it distributed."""
+        if not broadcast_winners:
+            return df
+        return F.broadcast(df.localCheckpoint(eager=False))
+
     is_barrier = (F.col("op") == "D") | F.col("present_cols").isNull()
     bar = (alive.filter(is_barrier).groupBy(*KEY_COLS)
            .agg(F.max("_eff").alias("_bar")))
 
     top_ord = ev.groupBy(*KEY_COLS).agg(F.max("_ord").alias("_ord"))
-    top = (ev.join(hint(top_ord), on=[*KEY_COLS, "_ord"],
+    top = (ev.join(bhint(top_ord), on=[*KEY_COLS, "_ord"],
                    how="inner")
            .dropDuplicates(list(KEY_COLS))
            .select(*KEY_COLS, "op", *ORDER_COLS, "gtid", "ts_sec", "_ord"))
@@ -618,13 +627,13 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
               .filter(F.col("e.p"))
               .select(*KEY_COLS, "_eff", F.col("e.c").alias("_col"),
                       F.col("e.v").alias("_val")))
-    melted = (melted.join(hint(bar), on=list(KEY_COLS), how="left")
+    melted = (melted.join(bhint(bar), on=list(KEY_COLS), how="left")
               .filter(F.col("_eff") >= F.coalesce(
                   F.col("_bar"), F.lit(-1).cast("decimal(38,0)")))
               .drop("_bar"))
     col_winners = (melted.groupBy(*KEY_COLS, "_col")
                    .agg(F.max("_eff").alias("_eff")))
-    resolved = (melted.join(hint(col_winners),
+    resolved = (melted.join(bhint(col_winners),
                             on=[*KEY_COLS, "_col", "_eff"], how="inner")
                 .dropDuplicates([*KEY_COLS, "_col"]))
     pivoted = (resolved.groupBy(*KEY_COLS)
