@@ -231,9 +231,9 @@ ENVELOPE_SLACK = 1.25
 #: run_gated retry trigger.  Only sf0.1 (the driver's bench SF) is
 #: calibrated; other SFs gate on busy-cores alone.
 _SUITE_ENVELOPES = {"sf0.1": {
-    "binlog_decode": 2.0, "binlog_apply_e2e": 12.0, "binlog_reduce": 4.7,
-    "binlog_multi_replay": 8.5, "binlog_minimal_replay": 9.5,
-    "binlog_multi_minimal": 15.0,
+    "binlog_decode": 1.6, "binlog_apply_e2e": 9.5, "binlog_reduce": 4.2,
+    "binlog_multi_replay": 6.5, "binlog_minimal_replay": 7.5,
+    "binlog_multi_minimal": 13.5,
 }}
 
 
