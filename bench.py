@@ -56,22 +56,22 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "tools"))
     from bench_scaling import QUIET_CORES, ext_busy_cores, wait_quiet
 
-    def run(name: str, fn) -> None:
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
-
     def run_gated(name: str, fn, retries: int = 2) -> None:
-        """Headline binlog queries: gate on measured external busy cores
+        """EVERY headline query: gate on measured external busy cores
         before AND after the sample AND on the query's known-quiet wall
         envelope (these are fixed deterministic jobs at a fixed SF, so
         an over-envelope wall IS contamination — host-neighbor steal is
         invisible to the guest busy-core delta; same defense as the
         scaling pair).  ``fn`` must be re-runnable (each binlog query
-        resets its own lake dirs).  Keeps the fastest sample; records
-        the winning sample's external load."""
+        resets its own lake dirs; the relational/ops queries are pure
+        reads).  Keeps the fastest sample; records the winning sample's
+        external load, and — when even the best sample violated the
+        quiet gate or the envelope — an explicit
+        ``{name}_in_envelope: false`` so a reader never has to
+        cross-check ext_busy against QUIET_CORES to spot a
+        contaminated number (VERDICT r4 'what's wrong' #4)."""
         env = _SUITE_ENVELOPES.get(sf_name, {}).get(name)
-        best = (float("inf"), float("inf"))  # (wall, ext_busy)
+        best = (float("inf"), float("inf"), False)  # (wall, ext, clean)
         for attempt in range(retries + 1):
             busy = wait_quiet(timeout=60)
             t0 = time.time()
@@ -79,14 +79,16 @@ def main() -> None:
             wall = round(time.time() - t0, 3)
             post = ext_busy_cores(interval=1.0)
             ext = round(max(busy, post), 2)
-            if wall < best[0]:
-                best = (wall, ext)
             quiet = busy < QUIET_CORES and post < QUIET_CORES
             in_env = env is None or wall <= env * ENVELOPE_SLACK
+            if wall < best[0]:
+                best = (wall, ext, quiet and in_env)
             if quiet and in_env:
                 break
         timings[name] = best[0]
         extras[f"{name}_ext_busy"] = best[1]
+        if not best[2]:
+            extras[f"{name}_in_envelope"] = False
 
     # warm-up (excluded): JVM codegen + one Python worker per core — a
     # cluster pays this once per executor lifetime, not per job
@@ -152,27 +154,34 @@ def main() -> None:
               lambda: binlog_demo.binlog_multi_minimal(spark, sf_dir)
               .count())
 
-    run("binlog_typed_decode",
-        lambda: binlog_demo.binlog_typed_decode(spark, sf_dir).count())
-    run("binlog_statements",
-        lambda: binlog_demo.binlog_statement_events(spark, sf_dir).count())
+    run_gated("binlog_typed_decode",
+              lambda: binlog_demo.binlog_typed_decode(spark, sf_dir).count())
+    run_gated("binlog_statements",
+              lambda: binlog_demo.binlog_statement_events(spark, sf_dir)
+              .count())
 
-    # --- relational / CDC-twin suite ---
-    run("q1", lambda: relational.q1_pricing_summary(spark, sf_dir).collect())
-    run("q3", lambda: relational.q3_top_orders(spark, sf_dir).collect())
-    run("q5", lambda: relational.q5_region_revenue(spark, sf_dir).collect())
-    run("top_customers",
-        lambda: relational.top_customers(spark, sf_dir).collect())
-    run("sessionize",
-        lambda: relational.sessionize_events(spark, sf_dir).count())
-    run("cdc_apply", lambda: cdc_events.cdc_apply(spark, sf_dir).count())
+    # --- relational / CDC-twin suite (gated since r5: the r4 artifact
+    # recorded 20-65% ungated regressions here with no way to tell host
+    # noise from a real slowdown — VERDICT r4 'what's wrong' #1) ---
+    run_gated("q1",
+              lambda: relational.q1_pricing_summary(spark, sf_dir).collect())
+    run_gated("q3", lambda: relational.q3_top_orders(spark, sf_dir).collect())
+    run_gated("q5",
+              lambda: relational.q5_region_revenue(spark, sf_dir).collect())
+    run_gated("top_customers",
+              lambda: relational.top_customers(spark, sf_dir).collect())
+    run_gated("sessionize",
+              lambda: relational.sessionize_events(spark, sf_dir).count())
+    run_gated("cdc_apply",
+              lambda: cdc_events.cdc_apply(spark, sf_dir).count())
 
     # --- training-data ops ---
-    run("doc_token_stats", lambda: text.doc_token_stats(spark, sf_dir).count())
-    run("doc_minhash_dups",
-        lambda: dedup.doc_minhash_dups(spark, sf_dir).count())
-    run("ann_bruteforce",
-        lambda: similarity.ann_bruteforce_topk(spark, sf_dir).count())
+    run_gated("doc_token_stats",
+              lambda: text.doc_token_stats(spark, sf_dir).count())
+    run_gated("doc_minhash_dups",
+              lambda: dedup.doc_minhash_dups(spark, sf_dir).count())
+    run_gated("ann_bruteforce",
+              lambda: similarity.ann_bruteforce_topk(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     spark.stop()
@@ -234,6 +243,13 @@ _SUITE_ENVELOPES = {"sf0.1": {
     "binlog_decode": 1.6, "binlog_apply_e2e": 9.5, "binlog_reduce": 4.2,
     "binlog_multi_replay": 6.5, "binlog_minimal_replay": 7.5,
     "binlog_multi_minimal": 13.5,
+    # ops/relational envelopes (r5): best clean r3 walls + ~10% headroom
+    # — the r4 artifact's ungated 20-65% slower reads are treated as the
+    # contamination they almost certainly were
+    "binlog_typed_decode": 0.7, "binlog_statements": 0.78,
+    "q1": 0.73, "q3": 0.96, "q5": 1.13, "top_customers": 0.66,
+    "sessionize": 0.33, "cdc_apply": 0.63, "doc_token_stats": 0.2,
+    "doc_minhash_dups": 4.5, "ann_bruteforce": 0.93,
 }}
 
 
@@ -357,28 +373,76 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 60,
         out[f"cpu_envelope_c{c}"] = round(env[c] * ENVELOPE_SLACK, 2)
         out[f"rejected_samples_c{c}"] = sum(
             1 for r in samples[c] if not _clean(c, r))
-    for lo, hi in pairs:
-        blo, bhi = best(lo), best(hi)
-        out[f"scaling_efficiency_{lo}_to_{hi}"] = round(
-            (blo["wall_sec"] / bhi["wall_sec"]) / (hi / lo), 3)
-        out[f"cpu_scaling_efficiency_{lo}_to_{hi}"] = round(
-            blo["cpu_us_per_event"] / bhi["cpu_us_per_event"], 3)
-    # headline = the MATCHED-CONDITIONS ladder.  Both ladders are equally
-    # valid N→4N instantiations of the rule and both are always recorded;
-    # phantom-load waves on this shared host hit one ladder's legs
-    # asymmetrically in roughly half the runs (verified-idle both read
-    # 0.90).  Flat CPU/event across a ladder's two legs means neither leg
-    # was inflated by steal, so the ladder with the higher CPU-scaling
-    # efficiency is the trustworthy wall measurement this run — in the
-    # round-4 validation runs this selector selected around the
-    # contaminated leg every time (0.815 / 0.84 / 0.885) while either
-    # fixed choice failed at least once.
-    lo, hi = max(pairs,
-                 key=lambda p: out[f"cpu_scaling_efficiency_{p[0]}_to_{p[1]}"])
-    out["scaling_pair"] = f"{lo}_to_{hi}"
-    out["scaling_efficiency"] = out[f"scaling_efficiency_{lo}_to_{hi}"]
-    out["cpu_scaling_efficiency"] = \
-        out[f"cpu_scaling_efficiency_{lo}_to_{hi}"]
+    def _pair_metrics() -> None:
+        for lo, hi in pairs:
+            blo, bhi = best(lo), best(hi)
+            out[f"scaling_efficiency_{lo}_to_{hi}"] = round(
+                (blo["wall_sec"] / bhi["wall_sec"]) / (hi / lo), 3)
+            out[f"cpu_scaling_efficiency_{lo}_to_{hi}"] = round(
+                blo["cpu_us_per_event"] / bhi["cpu_us_per_event"], 3)
+
+    _pair_metrics()
+    # headline = the MATCHED-CONDITIONS ladder(s).  Both ladders are
+    # equally valid N→4N instantiations of the rule and both are always
+    # recorded; phantom-load waves on this shared host hit one ladder's
+    # legs asymmetrically in roughly half the runs (verified-idle both
+    # read 0.90).  Flat CPU/event across a ladder's two legs means
+    # neither leg was inflated by steal — but r4's ``max()`` over two
+    # noisy correlated metrics biased the headline up slightly (VERDICT
+    # r4 'what's wrong' #3), so since r5 a ladder qualifies only when
+    # its CPU-scaling efficiency sits in an ABSOLUTE flatness window
+    # [0.90, 1.05] (both legs genuinely uninflated); the headline is the
+    # MEAN of all qualifying ladders.  When none qualifies, one extra
+    # quiet-gated sample per config of the CPU-flattest pair is taken
+    # and the test repeats; a still-unqualified run falls back to that
+    # flattest ladder with an explicit selector tag instead of silently
+    # reporting a max.
+    FLAT_LO, FLAT_HI = 0.90, 1.05
+
+    def _flat(p: tuple) -> bool:
+        e = out[f"cpu_scaling_efficiency_{p[0]}_to_{p[1]}"]
+        return FLAT_LO <= e <= FLAT_HI
+
+    if not any(_flat(p) for p in pairs):
+        lo, hi = max(
+            pairs,
+            key=lambda p: -abs(
+                1.0 - out[f"cpu_scaling_efficiency_{p[0]}_to_{p[1]}"]))
+        for c in (lo, hi):
+            wait_quiet(timeout=120)
+            r = run_config(dump, n_changes, c, replicate)
+            r["pre_busy_cores"] = round(ext_busy_cores(), 2)
+            samples[c].append(r)
+            env[c] = min(env[c], r["cpu_us_per_event"])
+            out[f"rejected_samples_c{c}"] = sum(
+                1 for s in samples[c] if not _clean(c, s))
+            b = best(c)
+            out[f"scale_ev_per_sec_c{c}"] = round(ev / b["wall_sec"], 1)
+            out[f"cpu_us_per_event_c{c}"] = round(b["cpu_us_per_event"], 2)
+        out["scale_runs"] = {c: len(samples[c]) for c in configs}
+        _pair_metrics()
+
+    qual = [p for p in pairs if _flat(p)]
+    if qual:
+        out["scaling_pair"] = "+".join(f"{lo}_to_{hi}" for lo, hi in qual)
+        out["scaling_selector"] = (
+            f"mean_of_flat_ladders_cpu_window_{FLAT_LO}_{FLAT_HI}")
+        out["scaling_efficiency"] = round(sum(
+            out[f"scaling_efficiency_{lo}_to_{hi}"]
+            for lo, hi in qual) / len(qual), 3)
+        out["cpu_scaling_efficiency"] = round(sum(
+            out[f"cpu_scaling_efficiency_{lo}_to_{hi}"]
+            for lo, hi in qual) / len(qual), 3)
+    else:
+        lo, hi = max(
+            pairs,
+            key=lambda p: -abs(
+                1.0 - out[f"cpu_scaling_efficiency_{p[0]}_to_{p[1]}"]))
+        out["scaling_pair"] = f"{lo}_to_{hi}"
+        out["scaling_selector"] = "fallback_flattest_no_ladder_in_window"
+        out["scaling_efficiency"] = out[f"scaling_efficiency_{lo}_to_{hi}"]
+        out["cpu_scaling_efficiency"] = \
+            out[f"cpu_scaling_efficiency_{lo}_to_{hi}"]
     return out
 
 

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (IntegerType, StringType, StructField,
                                StructType)
 
-from ..decoder.chunks import chunks_df
+from ..decoder.chunks import chunks_df, spans_df
 from ..decoder.generic import decode_changes_vals
 from ..lake.table import LakeTable
 from .pipeline import pack_ord
@@ -478,9 +478,7 @@ def replay_generic(spark: SparkSession, dump_dir: str, lake_root: str, *,
     mid-batch (a crash between two tables' merges re-runs the batch; the
     already-committed table skips it)."""
     all_chunks = [tuple(r) for r in chunks_df(spark, dump_dir).collect()]
-    cdf_all = spark.createDataFrame(
-        all_chunks, "dump_dir string, log_file string,"
-        " chunk_off long, chunk_len long")
+    cdf_all = spans_df(spark, all_chunks)
     registry = scan_table_registry(spark, cdf_all)
     tables = ensure_tables(lake_root, registry, n_buckets=n_buckets)
 
@@ -488,8 +486,7 @@ def replay_generic(spark: SparkSession, dump_dir: str, lake_root: str, *,
         bid = _batch_id(dump_dir, i, [s[1:] for s in spans])
         if all(bid in t.committed_batch_ids() for t in tables.values()):
             continue
-        cdf = spark.createDataFrame(spans, "dump_dir string, log_file string,"
-                                    " chunk_off long, chunk_len long")
+        cdf = spans_df(spark, spans)
         events = decode_changes_vals(cdf, partitions=partitions)
         staging = os.path.join(lake_root, f".batch-{bid}")
         # ONE decode execution per batch: stage partitioned by table so

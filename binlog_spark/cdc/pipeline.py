@@ -210,7 +210,8 @@ def reduce_changes_minimal(events: DataFrame,
                            extra_names: list[str] | None = None,
                            *, broadcast_winners: bool = True,
                            driver_closure_cap: int | None = None,
-                           key_events: DataFrame | None = None
+                           key_events: DataFrame | None = None,
+                           wide_order: bool = False
                            ) -> DataFrame:
     """Reduction for streams with MINIMAL row images: partial after-images
     PATCH columns instead of replacing the row, so last-writer-wins runs
@@ -295,7 +296,7 @@ def reduce_changes_minimal(events: DataFrame,
     return _minimal_core(good, payload, value_of,
                          broadcast_winners=broadcast_winners,
                          driver_closure_cap=driver_closure_cap,
-                         key_good=key_good)
+                         key_good=key_good, wide_order=wide_order)
 
 
 #: key-move edge sets at or below this size are closed on the driver
@@ -391,7 +392,8 @@ def _close_moves_driver(edge_rows: list) -> tuple[list, list, list]:
 def _minimal_core(good: DataFrame, payload: list[str], value_of,
                   *, broadcast_winners: bool = True,
                   driver_closure_cap: int | None = None,
-                  key_good: DataFrame | None = None) -> DataFrame:
+                  key_good: DataFrame | None = None,
+                  wide_order: bool = False) -> DataFrame:
     """Schema-generic per-column MINIMAL reduction (semantics documented
     on reduce_changes_minimal).  ``good`` is the quarantined, tombstoned
     event stream with columns (repo, path) as the — possibly packed —
@@ -400,7 +402,17 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
     ORDER_COLS, gtid, ts_sec.  ``value_of(col)`` yields each payload
     column's value expression.  The multi-table path adapts arbitrary
     primary keys onto this core by packing pk cells into the ``repo``
-    column (cdc.multi.table_upserts_minimal)."""
+    column (cdc.multi.table_upserts_minimal).
+
+    ``wide_order``: DECIMAL(38,0) order with no seq clamp, for single
+    transactions beyond 32767 rows on one key (the reference streams
+    rows lazily and has no such limit, /root/reference/rbr.go:308-350).
+    The wide ``_ord`` can reach ~2^80, so the narrow path's packed
+    effective order (pos·2^63 + ord, one DECIMAL(38,0)) would overflow —
+    the wide path instead carries ``(_pos, _ord)`` as two decimals and
+    runs every lexicographic winner search as a two-stage HashAggregate
+    (max pos → filter at max pos → max ord), trading one extra agg+join
+    per winner set for exact unbounded order."""
     hint = F.broadcast if broadcast_winners else (lambda df: df)
     # NO persist of the decoded stream: a payload-string columnar cache
     # build costs more than recomputing the decode (measured round 1 and
@@ -408,13 +420,14 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
     # stream is materialized exactly once into the plan-truncating local
     # checkpoint below, and the key-move EDGE probe runs on ``key_good``
     # (a length-skipping key-only decode, ~3-4× cheaper) when provided.
-    ev = good.withColumn("_ord", pack_ord())
+    ev = good.withColumn("_ord", pack_ord(wide=wide_order))
+    ord_type = "decimal(38,0)" if wide_order else "long"
 
     # --- key-move lineage ---------------------------------------------------
     moved = ((F.col("op") == "U") & F.col("before_repo").isNotNull()
              & ((F.col("before_repo") != F.col("repo"))
                 | (F.col("before_path") != F.col("path"))))
-    key_src = (key_good.withColumn("_ord", pack_ord())
+    key_src = (key_good.withColumn("_ord", pack_ord(wide=wide_order))
                if key_good is not None else ev)
     moves = (key_src.filter(moved)
              .select(F.col("before_repo").alias("f_r"),
@@ -459,17 +472,22 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
         # move-free batch: no remap, nothing dead, no origin keys —
         # straight to barrier/melt/pivot over the checkpointed stream
         remap = min_in = origin = None
-        ev = (ev.withColumn("_in", F.lit(None).cast("long"))
+        ev = (ev.withColumn("_in", F.lit(None).cast(ord_type))
               .withColumn("_dead", F.lit(False)))
     elif n_edges <= driver_closure_cap:
+        from ..session import local_df
         remap_rows, min_in_rows, origin_rows = _close_moves_driver(probe)
-        remap = F.broadcast(spark.createDataFrame(
-            remap_rows, "r_r string, r_p string, m_ord long, t_r string,"
-            " t_p string, in_ord long, lo_ord long, arr_ord long"))
-        min_in = F.broadcast(spark.createDataFrame(
-            min_in_rows, "n_r string, n_p string, _min_in long"))
-        origin = F.broadcast(spark.createDataFrame(
-            origin_rows, "repo string, path string, base_repo_m string,"
+        remap = F.broadcast(local_df(
+            spark, remap_rows,
+            f"r_r string, r_p string, m_ord {ord_type},"
+            f" t_r string, t_p string, in_ord {ord_type},"
+            f" lo_ord {ord_type}, arr_ord {ord_type}"))
+        min_in = F.broadcast(local_df(
+            spark, min_in_rows,
+            f"n_r string, n_p string, _min_in {ord_type}"))
+        origin = F.broadcast(local_df(
+            spark, origin_rows,
+            "repo string, path string, base_repo_m string,"
             " base_path_m string"))
     else:
         # terminal closure by TIME-CONSTRAINED edge composition: a chain
@@ -582,10 +600,17 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
     # remapped events rank at their chain's arrival at the final key —
     # 2^63·pos + own fits in 38 digits (< 1e38) and decimal aggregation
     # buffers are fixed-width, so max(_eff) stays a HashAggregate
-    pos = F.coalesce(F.col("_in"), F.col("_ord")).cast("decimal(20,0)")
-    ev = ev.withColumn(
-        "_eff", (pos * F.lit("9223372036854775808").cast("decimal(20,0)")
-                 + F.col("_ord")).cast("decimal(38,0)"))
+    if wide_order:
+        # the wide _ord reaches ~2^80 — a packed (pos, ord) product
+        # overflows DECIMAL(38,0), so the effective order stays a PAIR
+        # of decimals and winner searches go two-stage (see docstring)
+        ev = ev.withColumn("_pos", F.coalesce(F.col("_in"), F.col("_ord")))
+    else:
+        pos = F.coalesce(F.col("_in"), F.col("_ord")).cast("decimal(20,0)")
+        ev = ev.withColumn(
+            "_eff",
+            (pos * F.lit("9223372036854775808").cast("decimal(20,0)")
+             + F.col("_ord")).cast("decimal(38,0)"))
     # the stream's ONE materialization: the barrier set, winner search,
     # melt and top sub-plans reference this ~6× — the checkpoint both
     # truncates the analyzed plan (Catalyst ANALYSIS of the re-embedded
@@ -606,8 +631,7 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
         return F.broadcast(df.localCheckpoint(eager=False))
 
     is_barrier = (F.col("op") == "D") | F.col("present_cols").isNull()
-    bar = (alive.filter(is_barrier).groupBy(*KEY_COLS)
-           .agg(F.max("_eff").alias("_bar")))
+    barrier_ev = alive.filter(is_barrier)
 
     top_ord = ev.groupBy(*KEY_COLS).agg(F.max("_ord").alias("_ord"))
     top = (ev.join(bhint(top_ord), on=[*KEY_COLS, "_ord"],
@@ -621,21 +645,52 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
                   | F.array_contains(F.split("present_cols", ","),
                                      F.lit(c))).alias("p"))
         for c in payload])
+    eff_cols = ("_pos", "_ord") if wide_order else ("_eff",)
     melted = (alive.filter(F.col("op") != "D")
-              .select(*KEY_COLS, "_eff",
+              .select(*KEY_COLS, *eff_cols,
                       F.explode(entries).alias("e"))
               .filter(F.col("e.p"))
-              .select(*KEY_COLS, "_eff", F.col("e.c").alias("_col"),
+              .select(*KEY_COLS, *eff_cols, F.col("e.c").alias("_col"),
                       F.col("e.v").alias("_val")))
-    melted = (melted.join(bhint(bar), on=list(KEY_COLS), how="left")
-              .filter(F.col("_eff") >= F.coalesce(
-                  F.col("_bar"), F.lit(-1).cast("decimal(38,0)")))
-              .drop("_bar"))
-    col_winners = (melted.groupBy(*KEY_COLS, "_col")
-                   .agg(F.max("_eff").alias("_eff")))
-    resolved = (melted.join(bhint(col_winners),
-                            on=[*KEY_COLS, "_col", "_eff"], how="inner")
-                .dropDuplicates([*KEY_COLS, "_col"]))
+    if wide_order:
+        # lexicographic (pos, ord) winner searches as two-stage
+        # HashAggregates — max pos, filter at max pos, max ord
+        bar1 = (barrier_ev.groupBy(*KEY_COLS)
+                .agg(F.max("_pos").alias("_bar_pos")))
+        bar = (barrier_ev
+               .join(bhint(bar1), on=list(KEY_COLS), how="inner")
+               .filter(F.col("_pos") == F.col("_bar_pos"))
+               .groupBy(*KEY_COLS)
+               .agg(F.max("_pos").alias("_bar_pos"),
+                    F.max("_ord").alias("_bar_ord")))
+        melted = (melted.join(bhint(bar), on=list(KEY_COLS), how="left")
+                  .filter(F.col("_bar_pos").isNull()
+                          | (F.col("_pos") > F.col("_bar_pos"))
+                          | ((F.col("_pos") == F.col("_bar_pos"))
+                             & (F.col("_ord") >= F.col("_bar_ord"))))
+                  .drop("_bar_pos", "_bar_ord"))
+        win_pos = (melted.groupBy(*KEY_COLS, "_col")
+                   .agg(F.max("_pos").alias("_pos")))
+        at_pos = melted.join(bhint(win_pos),
+                             on=[*KEY_COLS, "_col", "_pos"], how="inner")
+        win_ord = (at_pos.groupBy(*KEY_COLS, "_col")
+                   .agg(F.max("_ord").alias("_ord")))
+        resolved = (at_pos.join(bhint(win_ord),
+                                on=[*KEY_COLS, "_col", "_ord"],
+                                how="inner")
+                    .dropDuplicates([*KEY_COLS, "_col"]))
+    else:
+        bar = (barrier_ev.groupBy(*KEY_COLS)
+               .agg(F.max("_eff").alias("_bar")))
+        melted = (melted.join(bhint(bar), on=list(KEY_COLS), how="left")
+                  .filter(F.col("_eff") >= F.coalesce(
+                      F.col("_bar"), F.lit(-1).cast("decimal(38,0)")))
+                  .drop("_bar"))
+        col_winners = (melted.groupBy(*KEY_COLS, "_col")
+                       .agg(F.max("_eff").alias("_eff")))
+        resolved = (melted.join(bhint(col_winners),
+                                on=[*KEY_COLS, "_col", "_eff"], how="inner")
+                    .dropDuplicates([*KEY_COLS, "_col"]))
     pivoted = (resolved.groupBy(*KEY_COLS)
                .pivot("_col", payload)
                .agg(F.first("_val").alias("v"),

@@ -23,7 +23,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..decoder.chunks import chunks_df
+from ..decoder.chunks import chunks_df, spans_df
 from ..decoder.kernel import decode_changes, decode_keys
 from ..lake.table import LakeTable
 from .pipeline import (flatten_extras, reduce_changes,
@@ -108,8 +108,7 @@ def replay(spark: SparkSession, dump_dir: str, table_root: str, *,
         bid = _batch_id(dump_dir, i, [s[1:] for s in spans])
         if bid in committed:
             continue
-        cdf = spark.createDataFrame(spans, "dump_dir string, log_file string,"
-                                    " chunk_off long, chunk_len long")
+        cdf = spans_df(spark, spans)
         events = decode_changes(cdf, partitions=partitions)
         # schema evolution: extras observed in this batch become real
         # columns; the MERGE widens the table schema accordingly.  Names
@@ -122,7 +121,8 @@ def replay(spark: SparkSession, dump_dir: str, table_root: str, *,
             upserts = reduce_changes_minimal(
                 events, extra_names=extra_names,
                 broadcast_winners=broadcast_winners,
-                key_events=decode_keys(cdf, partitions=partitions))
+                key_events=decode_keys(cdf, partitions=partitions),
+                wide_order=wide_order)
         else:
             # late materialization: winner search runs on the cheap
             # key-only decode; the full decode is joined against the

@@ -101,13 +101,30 @@ def scan_chunks(dump_dir: str, chunk_target: int = 4 << 20) -> list[tuple]:
 
 def chunks_df(spark: SparkSession, dump_dir: str,
               use_manifest: bool = True) -> DataFrame:
-    """Chunk-span DataFrame, ordered by (log_file, chunk_off)."""
+    """Chunk-span DataFrame, ordered by (log_file, chunk_off).
+
+    Built from a pandas frame so the Arrow path turns it into a
+    JVM-side LocalRelation: ``createDataFrame(list)`` would plan a
+    pickled-Python-RDD scan that restarts Python workers on EVERY
+    action over the chunk table — measured ~0.7 s per query at sf0.1,
+    paid by every decode/replay/reduce in the suite."""
     if use_manifest and os.path.exists(os.path.join(dump_dir, "manifest.json")):
         manifest = read_manifest(dump_dir)
         rows = [(dump_dir, f, int(o), int(l)) for (f, o, l) in manifest["chunks"]]
     else:
         rows = [(dump_dir, f, int(o), int(l)) for (f, o, l) in scan_chunks(dump_dir)]
-    return spark.createDataFrame(rows, CHUNK_SCHEMA)
+    return spans_df(spark, rows)
+
+
+def spans_df(spark: SparkSession, spans: list[tuple]) -> DataFrame:
+    """(dump_dir, log_file, off, len) tuples → a LocalRelation-backed
+    DataFrame (see chunks_df on why not ``createDataFrame(list)``)."""
+    if not spans:
+        return spark.createDataFrame([], CHUNK_SCHEMA)
+    import pandas as pd
+    pdf = pd.DataFrame(list(spans),
+                       columns=[f.name for f in CHUNK_SCHEMA.fields])
+    return spark.createDataFrame(pdf, CHUNK_SCHEMA)
 
 
 def seek(chunks: DataFrame, log_file: str, pos: int) -> DataFrame:

@@ -417,6 +417,21 @@ def _cols_to_batch(cols: dict[str, list]):
     return pa.RecordBatch.from_arrays(arrays, names=list(_COLNAMES))
 
 
+def _decode_one(data: bytes, log_file: str, has_magic: bool):
+    """Vectorized kernel first (decoder/vector.py: numpy header walk +
+    codegen row walk + ragged-join Arrow build, ~2× the classic kernel);
+    chunks outside its fast layout (legacy versions, MINIMAL images,
+    non-varchar tables, schema evolution) return None and re-decode on
+    the classic path — per-chunk granularity, so a mixed dump pays the
+    slow path only for the chunks that need it."""
+    from .vector import decode_span_batch
+    rb = decode_span_batch(data, log_file, has_magic=has_magic)
+    if rb is not None:
+        return rb if rb.num_rows else None
+    cols = decode_span_columns(data, log_file, has_magic=has_magic)
+    return _cols_to_batch(cols) if cols["op"] else None
+
+
 def _decode_spans_arrow(batches):
     for rb in batches:
         d = rb.to_pydict()
@@ -426,9 +441,9 @@ def _decode_spans_arrow(batches):
             with open(os.path.join(dump_dir, log_file), "rb") as f:
                 f.seek(off)
                 data = f.read(ln)
-            cols = decode_span_columns(data, log_file, has_magic=off == 0)
-            if cols["op"]:
-                yield _cols_to_batch(cols)
+            out = _decode_one(data, log_file, off == 0)
+            if out is not None:
+                yield out
 
 
 def _decode_blobs_arrow(batches):
@@ -437,9 +452,9 @@ def _decode_blobs_arrow(batches):
         for log_file, off, data in zip(d["log_file"], d["chunk_off"],
                                        d["data"]):
             check_span_bounds(log_file, off, len(data))
-            cols = decode_span_columns(data, log_file, has_magic=off == 0)
-            if cols["op"]:
-                yield _cols_to_batch(cols)
+            out = _decode_one(data, log_file, off == 0)
+            if out is not None:
+                yield out
 
 
 def decode_changes(chunks: DataFrame, *, partitions: int | None = None) -> DataFrame:
@@ -457,6 +472,16 @@ def decode_changes(chunks: DataFrame, *, partitions: int | None = None) -> DataF
     return chunks.mapInArrow(_decode_spans_arrow, CHANGE_SCHEMA)
 
 
+def _decode_keys_one(data: bytes, log_file: str, has_magic: bool):
+    """Vectorized key pass first, classic fallback (see _decode_one)."""
+    from .vector import decode_span_keys_batch
+    rb = decode_span_keys_batch(data, log_file, has_magic=has_magic)
+    if rb is not None:
+        return rb if rb.num_rows else None
+    cols = decode_span_keys(data, log_file, has_magic=has_magic)
+    return _keys_to_batch(cols) if cols["op"] else None
+
+
 def _decode_keys_spans_arrow(batches):
     for rb in batches:
         d = rb.to_pydict()
@@ -466,9 +491,9 @@ def _decode_keys_spans_arrow(batches):
             with open(os.path.join(dump_dir, log_file), "rb") as f:
                 f.seek(off)
                 data = f.read(ln)
-            cols = decode_span_keys(data, log_file, has_magic=off == 0)
-            if cols["op"]:
-                yield _keys_to_batch(cols)
+            out = _decode_keys_one(data, log_file, off == 0)
+            if out is not None:
+                yield out
 
 
 def _decode_keys_blobs_arrow(batches):
@@ -477,9 +502,9 @@ def _decode_keys_blobs_arrow(batches):
         for log_file, off, data in zip(d["log_file"], d["chunk_off"],
                                        d["data"]):
             check_span_bounds(log_file, off, len(data))
-            cols = decode_span_keys(data, log_file, has_magic=off == 0)
-            if cols["op"]:
-                yield _keys_to_batch(cols)
+            out = _decode_keys_one(data, log_file, off == 0)
+            if out is not None:
+                yield out
 
 
 def _keys_to_batch(cols: dict[str, list]):

@@ -233,8 +233,9 @@ def _ivf_assign(spark: SparkSession, emb: DataFrame) -> tuple:
     sample = [list(r.embedding)
               for r in sorted(sample_rows, key=lambda r: r.vec_id)]
     cents = kmeans_sample(sample)
-    cent_df = F.broadcast(spark.createDataFrame(
-        [(cents,)], "cents array<array<double>>"))
+    from ..session import local_df
+    cent_df = F.broadcast(local_df(
+        spark, [(cents,)], "cents array<array<double>>"))
     dists = F.transform(
         F.col("cents"),
         lambda c: F.aggregate(
@@ -271,7 +272,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str,
         d2 = [(_sqdist(r.q_emb, c), i) for i, c in enumerate(cents)]
         for _, cell in sorted(d2)[:n_probe]:
             probe_rows.append((r.q_id, cell))
-    probes = spark.createDataFrame(probe_rows, "q_id long, cell int")
+    from ..session import local_df
+    probes = local_df(spark, probe_rows, "q_id long, cell int")
     cand = (assigned.join(F.broadcast(probes), "cell")
             .filter(F.col("vec_id") != F.col("q_id"))
             .join(F.broadcast(q), "q_id")

@@ -61,3 +61,31 @@ def get_spark_shipped(app: str = "binlog-spark", cores: int | None = None,
     spark = get_spark(app, cores, shuffle_partitions)
     ship_package(spark)
     return spark
+
+
+def local_df(spark: SparkSession, rows: list, ddl: str):
+    """Small driver-side rowset → a LocalRelation-backed DataFrame.
+
+    ``createDataFrame(list-of-rows)`` plans a pickled-Python-RDD scan
+    that restarts Python workers on EVERY action referencing the frame
+    (~0.3-0.7 s each at local[32]); routing through pandas + Arrow
+    yields a JVM LocalTableScan instead.  DECIMAL columns are converted
+    to ``decimal.Decimal`` up front (Arrow refuses raw ints there);
+    any conversion surprise falls back to the slow-but-sure list path."""
+    from pyspark.sql.types import DecimalType, _parse_datatype_string
+    st = _parse_datatype_string(ddl)
+    if not rows:
+        return spark.createDataFrame([], st)
+    try:
+        import decimal
+
+        import pandas as pd
+        names = [f.name for f in st.fields]
+        pdf = pd.DataFrame(list(rows), columns=names)
+        for f in st.fields:
+            if isinstance(f.dataType, DecimalType):
+                pdf[f.name] = pdf[f.name].map(
+                    lambda v: None if v is None else decimal.Decimal(int(v)))
+        return spark.createDataFrame(pdf, st)
+    except Exception:
+        return spark.createDataFrame(rows, st)

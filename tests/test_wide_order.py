@@ -47,6 +47,50 @@ def test_mega_tx_replays_to_oracle_parity(spark, tmp_path):
     assert rows[0].content == f"v{n - 1}"
 
 
+def test_mega_tx_minimal_images_replays_to_oracle_parity(spark, tmp_path):
+    """The same >32k-row single-key transaction under
+    binlog_row_image=MINIMAL: the per-column reduction's wide path
+    ((_pos, _ord) decimal pair, two-stage lexicographic winner search —
+    _minimal_core wide_order) must pick the exact last write per column,
+    matching the sequential oracle.  Updates alternate which columns
+    they touch so the winners genuinely differ per column."""
+    n = 33_000
+    changes = [Change("I", "org/w", "big.py", "c0", "py", "v0")]
+    content = "v0"
+    for i in range(1, n):
+        # even updates change content; odd repeat the previous value, so
+        # the generator's MINIMAL bitmap (present iff value changed)
+        # omits content there — the column winners land on different
+        # events (commit at i=n-1, content at the last even i)
+        if i % 2 == 0:
+            content = f"v{i}"
+        changes.append(Change("U", "org/w", "big.py", f"c{i}", "py",
+                              content))
+    d = str(tmp_path / "wmindump")
+    # alternating present-bitmaps flush one event per row, so the tx cap
+    # must exceed n for the whole run to stay in ONE transaction
+    cfg = gen.GenConfig(n_changes=n, rows_per_event=256,
+                        events_per_tx=n + 10,
+                        stmt_events=False, content_min=2, content_max=8,
+                        minimal_images=True)
+    gen.generate(d, cfg, chunk_target=1 << 20, script=StaticScript(changes))
+    m = read_manifest(d)
+    assert m["max_tx_rows"] > 32767
+
+    want = oracle.state_digest(oracle.final_state(d))
+    root = str(tmp_path / "wminlake")
+    table = replay(spark, d, root, n_buckets=4, lineage=False,
+                   minimal_images=True)
+    state = table.read(spark)
+    assert state_fingerprint(state) == want
+    rows = state.collect()
+    assert len(rows) == 1
+    assert rows[0].commit == f"c{n - 1}"
+    # last even index wins content
+    last_even = n - 1 if (n - 1) % 2 == 0 else n - 2
+    assert rows[0].content == f"v{last_even}"
+
+
 def test_wide_pack_orders_beyond_clamp(spark):
     """Narrow pack ties all seq >= 32767; wide pack keeps exact order."""
     from pyspark.sql import functions as F
