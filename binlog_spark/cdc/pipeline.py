@@ -497,11 +497,17 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
         # EARLIER move-out and route the wrong row's history.  Each round
         # composes one hop against the FIXED (checkpointed) edge table —
         # the window predicate can't ride a fin⋈fin doubling, so the
-        # budget is linear: 14 rounds follow 15-hop in-batch chains (the
-        # same row's key moved 15 times within one batch); longer (or a
-        # cycle) poisons the remap and raises loudly rather than
-        # mis-routing.  (Chains of any length are handled exactly on the
-        # driver path above; this arm only runs for >100k-edge batches.)
+        # budget is linear: rounds run in blocks of 14 with ONE
+        # convergence probe per block and continue until no chain can
+        # extend.  Termination needs no hop cap: a hop's new in_ord is
+        # the matched edge's m_ord and the window demands in_ord < h_m,
+        # so in_ord strictly increases and every chain is bounded by the
+        # (finite, fixed) edge count — same invariant the driver-side
+        # closure relies on (_close_moves_driver).  The generous round
+        # bound below only trips on a violated invariant, never on a
+        # legal stream.  (Chains of any length are also handled exactly
+        # on the driver path above; this arm only runs for >100k-edge
+        # batches.)
         fin = edges.select("f_r", "f_p", "lo_ord", "m_ord", "t_r", "t_p",
                            F.col("m_ord").alias("in_ord"))
         hop = edges.select(F.col("f_r").alias("h_f_r"),
@@ -517,23 +523,25 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
                     & (F.col("h_lo") < F.col("in_ord"))
                     & (F.col("in_ord") < F.col("h_m")))
 
-        for _ in range(14):
-            fin = (fin.join(hint(hop), _hop_cond(), "left")
-                   .select("f_r", "f_p", "lo_ord", "m_ord",
-                           F.coalesce("h_t_r", "t_r").alias("t_r"),
-                           F.coalesce("h_t_p", "t_p").alias("t_p"),
-                           F.coalesce("h_m", "in_ord").alias("in_ord")))
-        # a further hop still matching after 14 rounds = >15-hop chain or
-        # a cycle: poison
-        still = fin.join(hint(hop), _hop_cond(), "left")
-        fin = still.select(
-            "f_r", "f_p", "lo_ord", "m_ord", "in_ord",
-            F.when(F.col("h_f_r").isNull(), F.col("t_r"))
-            .otherwise(F.raise_error(F.lit(
-                "reduce_changes_minimal: key-move chain exceeds 15 hops "
-                "within one batch (or cycles); use smaller batches or "
-                "FULL row images"))).alias("t_r"),
-            F.col("t_p"))
+        rounds = 0
+        while True:
+            for _ in range(14):
+                fin = (fin.join(hint(hop), _hop_cond(), "left")
+                       .select("f_r", "f_p", "lo_ord", "m_ord",
+                               F.coalesce("h_t_r", "t_r").alias("t_r"),
+                               F.coalesce("h_t_p", "t_p").alias("t_p"),
+                               F.coalesce("h_m", "in_ord").alias("in_ord")))
+            rounds += 14
+            # truncate the 14-join lineage before probing/continuing
+            fin = fin.localCheckpoint(eager=False)
+            if fin.join(hint(hop), _hop_cond(), "inner").isEmpty():
+                break
+            if rounds >= 1400:
+                raise RuntimeError(
+                    "reduce_changes_minimal: key-move composition still "
+                    f"unconverged after {rounds} hops — the strictly-"
+                    "increasing in_ord invariant is violated; refusing "
+                    "to mis-route")
         # remap: events at a moved-from key inside the edge's window
         # follow the chain to the final key
         remap = fin.select(F.col("f_r").alias("r_r"),

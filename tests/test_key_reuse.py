@@ -231,3 +231,29 @@ def test_driver_closure_long_chain_and_cycle():
     remap, min_in, origin = _close_moves_driver(cyc)
     assert all((r[3], r[4], r[5]) == ("r", "a", 40) for r in remap)
     assert origin == [("r", "a", "r", "a")]
+
+
+def test_distributed_closure_20_hop_chain(spark, tmp_path, monkeypatch):
+    """A 20-hop in-batch move chain through the DISTRIBUTED closure arm
+    (cap=0): the round-4 build poisoned any chain beyond 15 hops; the
+    composition now continues in 14-round blocks until convergence (the
+    strictly-increasing in_ord invariant bounds every chain), so this
+    must replay to oracle parity instead of raising."""
+    import binlog_spark.cdc.pipeline as P
+    monkeypatch.setattr(P, "DRIVER_CLOSURE_CAP", 0)
+    changes = [I("org/h", "k0.py", "c0", lang="go", content="keep-me")]
+    for i in range(20):
+        # move k{i} -> k{i+1}, commit-only partial image: lang/content
+        # must ride the whole 20-hop chain from the origin row
+        changes.append(Change("U", "org/h", f"k{i + 1}.py", f"c{i + 1}",
+                              "go", "keep-me",
+                              before_repo="org/h",
+                              before_path=f"k{i}.py"))
+    dump = _gen_static(tmp_path, "hop20", changes)
+    want = oracle.state_digest(oracle.final_state(dump))
+    got, table = _replay_digest(spark, dump, tmp_path, "hop20_lake")
+    assert got == want
+    live = {(r.repo, r.path): r for r in table.read(spark).collect()}
+    assert set(live) == {("org/h", "k20.py")}
+    assert live[("org/h", "k20.py")].commit == "c20"
+    assert live[("org/h", "k20.py")].content == "keep-me"
