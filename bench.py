@@ -237,7 +237,10 @@ def _frames_count(dump: str) -> int:
 #: inflated.  The envelope is also tightened dynamically to the best
 #: sample seen, so an engine speed-up lowers it while a genuine
 #: regression still surfaces after the retry budget.
-CPU_ENVELOPE_US = {2: 29.0, 4: 31.0, 8: 33.0, 16: 36.0}
+#: r5 recalibration: the vectorized kernel cut quiet CPU/event from
+#: ~36 to 20-30 µs (measured c2 22.1 / c4 20.5 / c8 26.0 / c16 30.0 on
+#: a gated-quiet run); envelopes sit ~5% above those
+CPU_ENVELOPE_US = {2: 23.0, 4: 21.5, 8: 27.5, 16: 31.5}
 ENVELOPE_SLACK = 1.25
 
 #: known-quiet walls for the headline binlog queries (fixed jobs at a
@@ -260,17 +263,21 @@ _SUITE_ENVELOPES = {"sf0.1": {
 }}
 
 
-def _scaling_pair(n_changes: int = 400_000, replicate: int = 60,
+def _scaling_pair(n_changes: int = 400_000, replicate: int = 120,
                   pairs: tuple = ((4, 16), (2, 8))) -> dict:
     """N→4N evidence via tools/bench_scaling.run_config: the full
     decode→dedup→reduce→MERGE job at local[N] and local[4N] in fresh JVMs
     over the same replicated input (at-least-once delivery storm — work
-    scales without scaling the fixture; 400k × 60 = 24M events per
+    scales without scaling the fixture; 400k × 120 = 48M events per
     sample.  The replication factor matters: each run carries ~10 s of
     driver-side serial time — plan analysis, winner broadcast, snapshot
     commit — which the north rule's 10^10-event regime amortizes to
     nothing; at 8M events it still caps measurable 2→8 efficiency at
-    ~0.67 by Amdahl alone, at 24M the same engine measures 0.90).
+    ~0.67 by Amdahl alone.  r4 used 24M (0.90 measured on the r4
+    engine); r5's vectorized kernel nearly halved CPU/event, halving
+    each sample's wall and doubling the serial share, so the factor
+    doubles to 120 to keep the serial-to-work ratio of the regime the
+    rule describes).
 
     Uses the dedicated small-content scaling fixture (16-512 B rows,
     BENCH.md): the criterion measures the ENGINE's scaling; multi-KB

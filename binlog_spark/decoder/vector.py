@@ -23,8 +23,12 @@ wire layout of /root/reference/rbr.go:246-350) — with two passes:
      ``np.repeat``-broadcast from per-job scalars, with ts/log_pos
      u32s gathered vectorized from the frame positions.
 
-Anything the fast layout cannot express — v1/v3 dumps, MINIMAL row
-images, non-varchar columns, schema evolution (extra columns), a
+MINIMAL row images stay on the fast path: each statement-level
+columns-present mask gets its own compiled walker (absent columns
+record NULL without consuming bytes; the per-row null bitmap indexes
+present columns only) and the after-image mask's column csv lands in
+``present_cols`` per event.  Anything the fast layout cannot express —
+v1/v3 dumps, non-varchar columns, schema evolution (extra columns), a
 mid-chunk FDE that changes the checksum algorithm — returns ``None``
 and the caller re-decodes the whole chunk with the classic kernel, so
 correctness never depends on this path (tests pin v2 ≡ classic on every
@@ -131,6 +135,18 @@ def _fast_widths(tme):
     return w
 
 
+_PRES_CSV: dict[int, str] = {}
+
+
+def _pres_csv(mask: int) -> str:
+    """Statement-level present-column csv for a MINIMAL after-image."""
+    s = _PRES_CSV.get(mask)
+    if s is None:
+        s = ",".join(n for i, n in enumerate(_BASE) if (mask >> i) & 1)
+        _PRES_CSV[mask] = s
+    return s
+
+
 # --- codegen: unrolled row walkers per (widths, kind) -----------------
 #
 # One generated function per distinct (length-prefix widths, op kind)
@@ -142,10 +158,25 @@ def _fast_widths(tme):
 _WALKERS: dict[tuple, object] = {}
 
 
-def _cell(i: int, w: int, keep: str, check_null: bool) -> list[str]:
-    """Emit one cell parse: optional null-bit check, length read, and a
-    DIRECT bytes-slice append into the target value list (lens -1 marks
-    NULL) — assembling slices here kills the second zip-pass the
+def _null_stmt(i: int, keep: str) -> str:
+    """The appends that record a NULL (or image-absent) cell for the
+    slots ``keep`` routes column i into."""
+    if keep == "both":
+        return f"v{i}(_B); l{i}(-1)"
+    if keep == "before":
+        return f"v{5 + i}(_B); l{5 + i}(-1)"
+    if keep == "delete":
+        return f"v{i}(_B); l{i}(-1); v{5 + i}(_B); l{5 + i}(-1)"
+    return "pass"
+
+
+def _cell(i: int, bit: int, w: int, keep: str,
+          check_null: bool) -> list[str]:
+    """Emit one cell parse: optional null-bit check (``bit`` = the
+    cell's index among the image's PRESENT columns — differs from the
+    column index i under MINIMAL images), length read, and a DIRECT
+    bytes-slice append into the target value list (lens -1 marks NULL)
+    — assembling slices here kills the second zip-pass the
     offset/length scheme needed; bytes slices beat memoryview slices
     ~2.4× end-to-end because ``bytes.join`` must acquire the buffer
     protocol per memoryview element.  keep: 'both' → value column i,
@@ -166,35 +197,49 @@ def _cell(i: int, w: int, keep: str, check_null: bool) -> list[str]:
     body.append("bpos = e")
     if not check_null:
         return body
-    if keep == "both":
-        null = f"v{i}(_B); l{i}(-1)"
-    elif keep == "before":
-        null = f"v{5 + i}(_B); l{5 + i}(-1)"
-    elif keep == "delete":
-        null = f"v{i}(_B); l{i}(-1); v{5 + i}(_B); l{5 + i}(-1)"
-    else:
-        null = "pass"
-    return ([f"if (nm >> {i}) & 1:", f"    {null}", "else:"]
-            + [f"    {ln}" for ln in body])
+    return ([f"if (nm >> {bit}) & 1:", f"    {_null_stmt(i, keep)}",
+             "else:"] + [f"    {ln}" for ln in body])
 
 
-def _image(widths: tuple, keeps: list[str], dst: list[str]) -> None:
+def _image(widths: tuple, keeps: list[str], dst: list[str],
+           mask: int | None = None) -> None:
     """Emit one row-image walk with a straight-line fast path for the
     overwhelmingly common all-non-NULL bitmap (nm == 0): no per-cell
-    bit test, just length-read + slice + append per column."""
+    bit test, just length-read + slice + append per column.  ``mask``
+    (MINIMAL images) limits the image to its present columns — absent
+    kept columns record NULL without consuming bytes, and the per-row
+    null bitmap indexes PRESENT columns only."""
+    full = (1 << len(widths)) - 1
+    mask = full if mask is None else mask
+    absent = [f"{_null_stmt(i, keeps[i])}"
+              for i in range(len(widths))
+              if not (mask >> i) & 1 and keeps[i] != "skip"]
     dst.append("        nm = d[bpos]; bpos += 1")
-    dst.append("        if nm == 0:")
-    for i, w in enumerate(widths):
-        dst.extend(f"            {ln}"
-                   for ln in _cell(i, w, keeps[i], check_null=False))
-    dst.append("        else:")
-    for i, w in enumerate(widths):
-        dst.extend(f"            {ln}"
-                   for ln in _cell(i, w, keeps[i], check_null=True))
+    for check in (False, True):
+        dst.append("        if nm == 0:" if not check else "        else:")
+        bit = 0
+        emitted = False
+        for i, w in enumerate(widths):
+            if not (mask >> i) & 1:
+                continue
+            dst.extend(f"            {ln}"
+                       for ln in _cell(i, bit, w, keeps[i], check))
+            bit += 1
+            emitted = True
+        if not emitted:
+            dst.append("            pass")
+    for stmt in absent:
+        dst.append(f"        {stmt}")
 
 
-def _walker(widths: tuple, kind: int, keys: bool = False):
-    key = (widths, kind, keys)
+def _walker(widths: tuple, kind: int, keys: bool = False,
+            bmask: int | None = None, amask: int | None = None):
+    """Compile (and cache) a row walker for one (layout, op kind,
+    key-only?, columns-present masks) combination.  ``bmask``/``amask``
+    are the statement-level columns-present bitmaps of the before/after
+    image (None = FULL); MINIMAL images get their own specialization, so
+    the hot loop never tests presence per cell."""
+    key = (widths, kind, keys, bmask, amask)
     fn = _WALKERS.get(key)
     if fn is not None:
         return fn
@@ -205,16 +250,16 @@ def _walker(widths: tuple, kind: int, keys: bool = False):
     src.append("    while bpos < bend:")
     if kind == 1:  # UPDATE: before image first — keep keys, skip the rest
         _image(widths, ["before" if i < 2 else "skip"
-                        for i in range(len(widths))], src)
+                        for i in range(len(widths))], src, bmask)
     if kind == 2:  # DELETE: WHERE image → keys into BOTH key slots
         _image(widths, ["delete" if i < 2 else "skip"
-                        for i in range(len(widths))], src)
+                        for i in range(len(widths))], src, bmask)
         if not keys:
             for i in range(2, 5):
                 src.append(f"        v{i}(_B); l{i}(-1)")
     else:          # the full after-image (INSERT, or UPDATE's 2nd image)
         _image(widths, ["both" if (i < 2 or not keys) else "skip"
-                        for i in range(len(widths))], src)
+                        for i in range(len(widths))], src, amask)
         if kind == 0:  # INSERT: before-keys are null
             src.append("        v5(_B); l5(-1); v6(_B); l6(-1)")
     src.append("        cnt += 1")
@@ -311,19 +356,32 @@ def _decode(data: bytes, log_file: str, has_magic: bool,
                 raise _Fallback  # lenenc ncol >= 0xFB or width mismatch
             bpos += 1
             full = (1 << ncol) - 1
-            if data[bpos] != full:
-                raise _Fallback  # partial columns-present (MINIMAL image)
+            pm0 = data[bpos] & full
             bpos += 1
             kind = rows_kind[t]
+            pm1 = None
             if kind == 1:
-                if data[bpos] != full:
-                    raise _Fallback
+                pm1 = data[bpos] & full
                 bpos += 1
             ok = (not do_crc
                   or crc32(mv[pos:end - 4]) == u32(data, end - 4)[0])
-            job_app((kind, bpos, bend,
-                     (kwalk if keys else fwalk)[kind],
-                     cur_gidx, txid, pos, ok))
+            if pm0 == full and (pm1 is None or pm1 == full):
+                fn = (kwalk if keys else fwalk)[kind]
+                pres = None        # FULL images: present_cols stays null
+            else:
+                # MINIMAL images: mask-specialized walker + the
+                # statement-level present-column csv (None on deletes,
+                # matching the classic kernel)
+                bm, am = ((pm0, pm1) if kind == 1
+                          else (pm0, None) if kind == 2
+                          else (None, pm0))
+                if bm == 0 or am == 0:
+                    # a zero-column image carries NO null-bitmap byte;
+                    # the walkers always read one — classic path instead
+                    raise _Fallback
+                fn = _walker(widths, kind, keys, bm, am)
+                pres = None if kind == 2 else _pres_csv(am)
+            job_app((kind, bpos, bend, fn, cur_gidx, txid, pos, ok, pres))
         elif c == _CAT_TM:
             b0, b1 = pos + hsz, end - cksum
             # a binlog emits one TABLE_MAP before EVERY rows-event and
@@ -502,7 +560,18 @@ def _build_batch(pa, data, log_file, jobs, counts, vals, lens, gtid_strs):
     cols["crc_ok"] = pa.array(np.repeat(np.asarray(
         [j[7] for j in jobs], dtype=bool), cnt), type=pa.bool_())
     cols["extra_json"] = pa.nulls(nrec, pa.utf8())
-    cols["present_cols"] = pa.nulls(nrec, pa.utf8())
+
+    pres = [j[8] for j in jobs]
+    if any(p is not None for p in pres):
+        pb = [p.encode() if p is not None else b"" for p in pres]
+        plens = [len(b) if pres[i] is not None else -1
+                 for i, b in enumerate(pb)]
+        rec = np.repeat(np.arange(len(jobs)), cnt).tolist()
+        cols["present_cols"] = _string_col(
+            pa, [pb[i] for i in rec], [plens[i] for i in rec],
+            validate_utf8=False)
+    else:
+        cols["present_cols"] = pa.nulls(nrec, pa.utf8())
 
     return pa.RecordBatch.from_arrays([cols[k] for k in _COLNAMES],
                                       names=list(_COLNAMES))

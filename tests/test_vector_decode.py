@@ -103,17 +103,47 @@ def test_vector_corrupt_crc_flagged(tmp_path):
     assert not all(rb_v.column("crc_ok").to_pylist())
 
 
-@pytest.mark.parametrize("cfg", [
-    gen.GenConfig(n_changes=800, minimal_images=True, seed=19,
-                  max_file_bytes=1 << 20),
-    gen.GenConfig(n_changes=800, evolve_at=200, seed=23,
-                  max_file_bytes=1 << 20),
-])
-def test_vector_declines_exotic_layouts(tmp_path, cfg):
-    """MINIMAL row images and schema evolution must route to the classic
+def test_vector_equals_classic_minimal_images(tmp_path):
+    """MINIMAL row images ride the fast path since r5: per-mask
+    specialized walkers must reproduce the classic kernel's partial
+    rows byte-for-byte — including present_cols csvs, PK-only before
+    images, and null-vs-absent column distinctions."""
+    d = str(tmp_path / "dump")
+    gen.generate(d, gen.GenConfig(n_changes=1500, minimal_images=True,
+                                  seed=19, key_move_ratio=0.2,
+                                  max_file_bytes=1 << 20),
+                 chunk_target=128 * 1024)
+    _assert_all_equal(d, min_vectorized=3)
+
+
+def test_vector_minimal_keys_equal_classic(tmp_path):
+    from binlog_spark.decoder.kernel import _keys_to_batch, decode_span_keys
+    from binlog_spark.decoder.vector import decode_span_keys_batch
+    d = str(tmp_path / "dump")
+    gen.generate(d, gen.GenConfig(n_changes=1500, minimal_images=True,
+                                  seed=19, key_move_ratio=0.2,
+                                  max_file_bytes=1 << 20),
+                 chunk_target=128 * 1024)
+    n_vec = 0
+    for log_file, off, data in _chunks(d):
+        rb_v = decode_span_keys_batch(data, log_file, has_magic=off == 0)
+        if rb_v is None:
+            continue
+        n_vec += 1
+        rb_c = _keys_to_batch(decode_span_keys(data, log_file,
+                                               has_magic=off == 0))
+        assert pa.Table.from_batches([rb_v]).equals(
+            pa.Table.from_batches([rb_c])), f"{log_file}@{off} differs"
+    assert n_vec >= 3
+
+
+def test_vector_declines_exotic_layouts(tmp_path):
+    """Schema evolution (extra columns) must route to the classic
     kernel (None), never decode wrong."""
     d = str(tmp_path / "dump")
-    gen.generate(d, cfg, chunk_target=128 * 1024)
+    gen.generate(d, gen.GenConfig(n_changes=800, evolve_at=200, seed=23,
+                                  max_file_bytes=1 << 20),
+                 chunk_target=128 * 1024)
     saw_fallback = False
     for log_file, off, data in _chunks(d):
         rb_v = decode_span_batch(data, log_file, has_magic=off == 0)

@@ -30,7 +30,7 @@ _JOB = r"""
 import sys, os, time, json, shutil
 sys.path.insert(0, {repo!r})
 from binlog_spark.session import get_spark, ship_package
-from binlog_spark.decoder.chunks import chunks_df
+from binlog_spark.decoder.chunks import chunks_df, spans_df
 from binlog_spark.decoder.kernel import decode_changes, decode_keys
 from binlog_spark.cdc.pipeline import reduce_changes, final_state
 from binlog_spark.lake.table import LakeTable
@@ -51,19 +51,35 @@ ship_package(spark)
 base = chunks_df(spark, dump)
 spans = [tuple(r) for r in base.collect()]
 spans = spans * replicate
-cdf = spark.createDataFrame(
-    spans, "dump_dir string, log_file string, chunk_off long, chunk_len long")
+# LocalRelation (Arrow) span table: createDataFrame(list) would plan a
+# pickled-Python-RDD scan that restarts Python workers on every action
+# over the chunk table — pure per-run serial cost that reads as a fake
+# scaling loss at the larger-cores leg (see session.local_df)
+cdf = spans_df(spark, spans)
 n_events_per_copy = {n_events}
 total_events = n_events_per_copy * replicate
 
 # warm-up, excluded from timing: JVM codegen + one Python worker per core
 # (workers are reused; a cluster pays this once per executor lifetime, not
-# per job, so steady-state is the honest cluster-analog measurement)
+# per job, so steady-state is the honest cluster-analog measurement).
+# The warm-up runs the FULL job shape — decode + key-decode + reduce +
+# MERGE into a throwaway table — so whole-stage codegen and Arrow runner
+# setup for every stage of the timed plan are compiled before t0; those
+# costs are independent of cluster size and the rule's 10^10-event
+# regime amortizes them to nothing, so leaving them inside the timed
+# window would charge the 4N leg a constant that reads as fake
+# scaling loss.
 spark.range(1000000).selectExpr("sum(id)").collect()
-warm = spark.createDataFrame(
-    spans[: cores * 2],
-    "dump_dir string, log_file string, chunk_off long, chunk_len long")
-decode_changes(warm, partitions=cores * 2).count()
+warm = spans_df(spark, spans[: cores * 2])
+warm_ev = decode_changes(warm, partitions=cores * 2)
+warm_up = reduce_changes(warm_ev,
+                         key_events=decode_keys(warm, partitions=cores * 2))
+warm_root = "/tmp/scaling_warm_%d_%d" % (cores, os.getpid())
+shutil.rmtree(warm_root, ignore_errors=True)
+warm_tbl = LakeTable(warm_root, n_buckets=cores * 2)
+warm_tbl.create()
+warm_tbl.merge(spark, warm_up, batch_id="warm")
+shutil.rmtree(warm_root, ignore_errors=True)
 
 def tree_cpu_sec():
     # total CPU (utime+stime incl. reaped children) of this process
