@@ -39,10 +39,25 @@ def get_spark(app: str = "binlog-spark", cores: int | None = None,
         cores = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    # Size the JVM for local[cores], not for the whole host: without
+    # ActiveProcessorCount the JVM sees every logical CPU and sizes GC
+    # workers / ForkJoin / netty pools for all of them, so at
+    # local[N < host] those service threads COMPETE with the N task
+    # threads instead of riding spare cores — measured +16% CPU/event at
+    # local[16] on a 32-logical host, which reads as a fake N→4N scaling
+    # loss.  A real cluster executor runs in a cgroup where the JVM sees
+    # exactly its own cores; this reproduces that.  Worker-side math
+    # libraries are pinned to one thread each for the same reason (one
+    # Python worker per task thread already saturates the allotment).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     return (
         SparkSession.builder
         .master(f"local[{cores}]")
         .appName(app)
+        .config("spark.driver.extraJavaOptions",
+                f"-XX:ActiveProcessorCount={cores}")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
