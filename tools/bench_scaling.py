@@ -178,7 +178,9 @@ def _cpu_set(cores: int) -> str:
     return ",".join(str(c) for c in range(0, 2 * cores, 2))
 
 
-def run_config(dump: str, n_events: int, cores: int, replicate: int) -> dict:
+def run_config(dump: str, n_events: int, cores: int, replicate: int,
+               cpu_list: str | None = None,
+               driver_mem: str | None = None) -> dict:
     """One scaling sample: the full job at local[cores], HARD-confined to
     ``cores`` vCPUs with taskset.  Without confinement the small leg's
     JVM service threads (GC, shuffle, netty) and Python workers spill
@@ -189,14 +191,50 @@ def run_config(dump: str, n_events: int, cores: int, replicate: int) -> dict:
     consume exactly what an N-core node could."""
     code = _JOB.format(repo=REPO, cores=cores, dump=dump,
                        replicate=replicate, n_events=n_events)
-    out = subprocess.run(["taskset", "-c", _cpu_set(cores),
+    env = dict(os.environ)
+    if driver_mem:
+        env["SPARK_DRIVER_MEM"] = driver_mem
+    out = subprocess.run(["taskset", "-c", cpu_list or _cpu_set(cores),
                           sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=1800)
+                         text=True, timeout=1800, env=env)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[7:])
     raise RuntimeError(f"cores={cores} failed:\n{out.stdout[-2000:]}"
                        f"\n{out.stderr[-3000:]}")
+
+
+def fleet_cpu_sets(cores: int, copies: int) -> list[str]:
+    """``copies`` disjoint even-vCPU slices of ``cores`` physical cores
+    each, together covering EXACTLY the vCPUs ``_cpu_set(copies*cores)``
+    gives the solo 4N leg — the point of the fleet leg is that both legs
+    of a ladder keep the same physical cores busy."""
+    allv = [str(c) for c in range(0, 2 * cores * copies, 2)]
+    return [",".join(allv[i * cores:(i + 1) * cores])
+            for i in range(copies)]
+
+
+def run_fleet(dump: str, n_events: int, cores: int, replicate: int,
+              copies: int = 4) -> list[dict]:
+    """Matched-occupancy N leg: ``copies`` identical N-core jobs run
+    CONCURRENTLY, each taskset-pinned to its own slice of the very
+    vCPUs the solo 4N leg uses.  On this host the per-core speed is a
+    function of how many cores are busy (2 busy cores turbo ~15-38%
+    faster per core than 8 — measured 17.2 vs 23.8 µs/event within one
+    run), so a solo N leg and a 4N leg never execute at the same
+    clock; a real cluster has no such asymmetry (every node is equally
+    busy at either cluster size).  Running the N leg as a fleet pins
+    host occupancy — and therefore the turbo/memory-bandwidth state —
+    to be IDENTICAL across the two legs, which is also the faithful
+    cluster analogue: 4 executors of size N vs 1 of size 4N.  Each
+    job's JVM gets a smaller heap (4 concurrent drivers); timing and
+    warm-up exclusion are per-job as in run_config."""
+    from concurrent.futures import ThreadPoolExecutor
+    sets = fleet_cpu_sets(cores, copies)
+    with ThreadPoolExecutor(max_workers=copies) as ex:
+        futs = [ex.submit(run_config, dump, n_events, cores, replicate,
+                          cpu_list=s, driver_mem="16g") for s in sets]
+        return [f.result() for f in futs]
 
 
 def main() -> None:
