@@ -413,7 +413,8 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 120,
     HI_DRIFT_MAX = 0.10
     SPREAD_MAX = 0.08
 
-    def _fleet_sample(lo: int, hi: int, rep: int) -> dict:
+    def _fleet_sample(lo: int, hi: int, rep: int,
+                      retries: int = 1) -> dict:
         """One fleet leg: hi//lo concurrent lo-core jobs on the hi
         leg's vCPUs.  Median wall is the leg's wall, so the gate is the
         INNER spread — the disagreement of the two middle jobs, which
@@ -421,23 +422,36 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 120,
         member (a quad of host cores running hot or cold — a real run
         measured walls [281, 311, 334, 334]) leaves the median intact
         and must not void the block; the full spread is still recorded
-        as a diagnostic."""
-        busy = wait_quiet(timeout=120)
-        runs = run_fleet(dump, n_changes, lo, rep, copies=hi // lo)
-        post = ext_busy_cores()
-        walls = sorted(r["wall_sec"] for r in runs)
-        n = len(walls)
-        med = walls[n // 2] if n % 2 else (walls[n // 2 - 1]
-                                           + walls[n // 2]) / 2
-        inner = (walls[n // 2] - walls[n // 2 - 1]) / walls[n // 2 - 1] \
-            if n >= 4 else (walls[-1] - walls[0]) / walls[0]
-        samples[lo].extend(runs)
-        return {"runs": runs, "wall_sec": med, "walls": walls,
-                "cpu_us_per_event": sum(r["cpu_us_per_event"]
-                                        for r in runs) / n,
-                "spread": inner,
-                "spread_full": (walls[-1] - walls[0]) / walls[0],
-                "pre_busy_cores": round(max(busy, post), 2)}
+        as a diagnostic.  The leg ALSO gates on the HI config's
+        CPU/event envelope: under matched occupancy the fleet's
+        per-core speed should match the solo hi leg's, so the hi
+        envelope is the right yardstick — a validation run caught a
+        contamination wave that inflated all four fleet members
+        uniformly to 32.7 µs/event (spread 0.002!) between two clean
+        brackets at 23.5; only a per-event envelope sees that."""
+        while True:
+            busy = wait_quiet(timeout=120)
+            runs = run_fleet(dump, n_changes, lo, rep, copies=hi // lo)
+            post = ext_busy_cores()
+            walls = sorted(r["wall_sec"] for r in runs)
+            n = len(walls)
+            med = walls[n // 2] if n % 2 else (walls[n // 2 - 1]
+                                               + walls[n // 2]) / 2
+            inner = ((walls[n // 2] - walls[n // 2 - 1])
+                     / walls[n // 2 - 1]) if n >= 4 else \
+                (walls[-1] - walls[0]) / walls[0]
+            samples[lo].extend(runs)
+            cpu = sum(r["cpu_us_per_event"] for r in runs) / n
+            r = {"runs": runs, "wall_sec": med, "walls": walls,
+                 "cpu_us_per_event": cpu,
+                 "spread": inner,
+                 "spread_full": (walls[-1] - walls[0]) / walls[0],
+                 "pre_busy_cores": round(max(busy, post), 2)}
+            ok = (r["pre_busy_cores"] < QUIET and inner <= SPREAD_MAX
+                  and cpu <= env[hi] * ENVELOPE_SLACK)
+            if ok or retries <= 0:
+                return r
+            retries -= 1
 
     def _block(lo: int, hi: int) -> dict:
         rep = reps[(lo, hi)]
@@ -456,16 +470,21 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 120,
             "cpu_eff": flat, "hi_drift": drift,
             "clean": (lo_r["pre_busy_cores"] < QUIET
                       and lo_r["spread"] <= SPREAD_MAX
+                      and lo_r["cpu_us_per_event"]
+                      <= env[hi] * ENVELOPE_SLACK
                       and _clean(hi, h1) and _clean(hi, h2)),
         }
         b["qualifies"] = (b["clean"] and drift <= HI_DRIFT_MAX
                           and FLAT_LO <= flat <= FLAT_HI)
         return b
 
-    # one block per ladder; retry blocks (in ladder priority order) only
+    # one block per ladder; retry blocks (in ladder priority order)
     # while NO ladder has qualified — once one has, the headline is
-    # secured and a non-qualifying secondary is simply recorded as such
-    # (bounded wall at 48M events: a 4→16 block is ~7 min, 2→8 ~15)
+    # secured and a non-qualifying SECONDARY is simply recorded as such.
+    # The PRIMARY ladder gets one extra retry even when a secondary
+    # already qualified (bounded: ~7 min): a qualifying primary both
+    # strengthens the headline (mean of two independent ladders) and
+    # keeps the better-matched full-occupancy pair on the record.
     blocks: dict[tuple, list] = {p: [] for p in pairs}
     for p in pairs:
         blocks[p].append(_block(*p))
@@ -474,6 +493,10 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 120,
             break
         if not any(b["qualifies"] for b in blocks[p]):
             blocks[p].append(_block(*p))
+    if (any(b["qualifies"] for bl in blocks.values() for b in bl)
+            and not any(b["qualifies"] for b in blocks[pairs[0]])
+            and len(blocks[pairs[0]]) < 2):
+        blocks[pairs[0]].append(_block(*pairs[0]))
 
     def _best_block(p: tuple) -> dict:
         """Qualifying block if any, else the clean (or failing that,
