@@ -532,6 +532,17 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 120,
         out[f"scaling_efficiency_{lo}_to_{hi}"] = round(b["eff"], 3)
         out[f"cpu_scaling_efficiency_{lo}_to_{hi}"] = round(
             b["cpu_eff"], 3)
+        # conservative cross-check: shared-substrate contention (one
+        # box's DIMMs/L3/disk carry all 4 fleet jobs at once, plus 4
+        # drivers where a real N-executor cluster runs one) hits ONLY
+        # the fleet leg, inflating its wall and therefore the wall
+        # efficiency — over-unity readings are this mechanism.  When
+        # the fleet burned more CPU/event than the hi leg (cpu_eff>1),
+        # discount the wall efficiency by exactly that excess; the
+        # flatness ceiling (1.05) bounds the possible over-credit
+        # either way.
+        out[f"scaling_efficiency_adj_{lo}_to_{hi}"] = round(
+            b["eff"] / max(1.0, b["cpu_eff"]), 3)
         out[f"hi_drift_{lo}_to_{hi}"] = round(b["hi_drift"], 3)
         out[f"block_qualifies_{lo}_to_{hi}"] = b["qualifies"]
         # every attempted block, so a non-qualifying run is explainable
@@ -566,6 +577,9 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 120,
         out["cpu_scaling_efficiency"] = round(sum(
             out[f"cpu_scaling_efficiency_{lo}_to_{hi}"]
             for lo, hi in qual) / len(qual), 3)
+        out["scaling_efficiency_adj"] = round(sum(
+            out[f"scaling_efficiency_adj_{lo}_to_{hi}"]
+            for lo, hi in qual) / len(qual), 3)
     else:
         lo, hi = max(
             pairs,
@@ -576,6 +590,8 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 120,
         out["scaling_efficiency"] = out[f"scaling_efficiency_{lo}_to_{hi}"]
         out["cpu_scaling_efficiency"] = \
             out[f"cpu_scaling_efficiency_{lo}_to_{hi}"]
+        out["scaling_efficiency_adj"] = \
+            out[f"scaling_efficiency_adj_{lo}_to_{hi}"]
     return out
 
 

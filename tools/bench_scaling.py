@@ -227,13 +227,15 @@ def run_fleet(dump: str, n_events: int, cores: int, replicate: int,
     host occupancy — and therefore the turbo/memory-bandwidth state —
     to be IDENTICAL across the two legs, which is also the faithful
     cluster analogue: 4 executors of size N vs 1 of size 4N.  Each
-    job's JVM gets a smaller heap (4 concurrent drivers); timing and
-    warm-up exclusion are per-job as in run_config."""
+    fleet JVM uses the SAME heap as the solo legs (4 × 20g fits the
+    128 GiB box; a 16g first cut left a GC-pressure confound in the
+    fleet-vs-solo CPU/event comparison); timing and warm-up exclusion
+    are per-job as in run_config."""
     from concurrent.futures import ThreadPoolExecutor
     sets = fleet_cpu_sets(cores, copies)
     with ThreadPoolExecutor(max_workers=copies) as ex:
         futs = [ex.submit(run_config, dump, n_events, cores, replicate,
-                          cpu_list=s, driver_mem="16g") for s in sets]
+                          cpu_list=s, driver_mem="20g") for s in sets]
         return [f.result() for f in futs]
 
 
