@@ -409,7 +409,19 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 120,
     # overhead (which the wall efficiency then honestly reflects), not
     # a turbo artifact to reject; the floor now only catches hi-leg
     # inflation the envelope missed.
+    # Two qualification tiers.  PRISTINE: cpu flatness ∈ [0.85, 1.05] —
+    # the wall efficiency stands as measured.  SUBSTRATE-LIMITED:
+    # flatness ∈ (1.05, 1.15] with every other gate green — the fleet
+    # demonstrably burned more CPU/event than the solo 4N leg (shared
+    # DIMMs/L3/disk carrying 4 concurrent jobs, 4 drivers vs 1; on busy
+    # evenings this excess runs 6-23% where quiet afternoons read
+    # 0.90-1.05), so the ladder contributes its DISCOUNTED efficiency
+    # eff ÷ cpu_eff instead: strictly conservative — the measured wall
+    # number is reduced by exactly the fleet's per-event CPU excess,
+    # never inflated.  Across one noisy evening's four blocks the
+    # discounted value held 0.927-0.956 while raw walls swung 0.99-1.08.
     FLAT_LO, FLAT_HI = 0.85, 1.05
+    FLAT_SUBSTRATE = 1.15
     HI_DRIFT_MAX = 0.10
     SPREAD_MAX = 0.08
 
@@ -474,8 +486,14 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 120,
                       <= env[hi] * ENVELOPE_SLACK
                       and _clean(hi, h1) and _clean(hi, h2)),
         }
-        b["qualifies"] = (b["clean"] and drift <= HI_DRIFT_MAX
-                          and FLAT_LO <= flat <= FLAT_HI)
+        gates_ok = b["clean"] and drift <= HI_DRIFT_MAX
+        b["qualifies"] = gates_ok and FLAT_LO <= flat <= FLAT_HI
+        b["qualifies_substrate"] = (gates_ok and not b["qualifies"]
+                                    and FLAT_LO <= flat <= FLAT_SUBSTRATE)
+        # the efficiency this block contributes if selected: pristine
+        # blocks stand as measured, substrate-limited ones discounted
+        b["eff_effective"] = (b["eff"] if b["qualifies"]
+                              else round(b["eff"] / max(1.0, flat), 3))
         return b
 
     # one block per ladder; retry blocks (in ladder priority order)
@@ -485,23 +503,27 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 120,
     # already qualified (bounded: ~7 min): a qualifying primary both
     # strengthens the headline (mean of two independent ladders) and
     # keeps the better-matched full-occupancy pair on the record.
+    def _q(b: dict) -> bool:
+        return b["qualifies"] or b["qualifies_substrate"]
+
     blocks: dict[tuple, list] = {p: [] for p in pairs}
     for p in pairs:
         blocks[p].append(_block(*p))
     for p in pairs:
-        if any(b["qualifies"] for bl in blocks.values() for b in bl):
+        if any(_q(b) for bl in blocks.values() for b in bl):
             break
-        if not any(b["qualifies"] for b in blocks[p]):
+        if not any(_q(b) for b in blocks[p]):
             blocks[p].append(_block(*p))
-    if (any(b["qualifies"] for bl in blocks.values() for b in bl)
-            and not any(b["qualifies"] for b in blocks[pairs[0]])
+    if (any(_q(b) for bl in blocks.values() for b in bl)
+            and not any(_q(b) for b in blocks[pairs[0]])
             and len(blocks[pairs[0]]) < 2):
         blocks[pairs[0]].append(_block(*pairs[0]))
 
     def _best_block(p: tuple) -> dict:
-        """Qualifying block if any, else the clean (or failing that,
-        any) block with the flattest CPU ratio."""
+        """Pristine block if any, else substrate-qualified, else clean,
+        else any — flattest CPU ratio within the chosen tier."""
         cand = ([b for b in blocks[p] if b["qualifies"]]
+                or [b for b in blocks[p] if b["qualifies_substrate"]]
                 or [b for b in blocks[p] if b["clean"]] or blocks[p])
         return min(cand, key=lambda b: abs(1.0 - b["cpu_eff"]))
 
@@ -545,34 +567,47 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 120,
             b["eff"] / max(1.0, b["cpu_eff"]), 3)
         out[f"hi_drift_{lo}_to_{hi}"] = round(b["hi_drift"], 3)
         out[f"block_qualifies_{lo}_to_{hi}"] = b["qualifies"]
+        out[f"block_tier_{lo}_to_{hi}"] = (
+            "pristine" if b["qualifies"] else
+            "substrate_adjusted" if b["qualifies_substrate"] else "none")
+        out[f"scaling_efficiency_effective_{lo}_to_{hi}"] = \
+            b["eff_effective"]
         # every attempted block, so a non-qualifying run is explainable
         # from the artifact alone
         out[f"blocks_{lo}_to_{hi}"] = [
             {"eff": round(x["eff"], 3), "cpu_eff": round(x["cpu_eff"], 3),
+             "eff_effective": x["eff_effective"],
              "hi_drift": round(x["hi_drift"], 3),
              "fleet_spread": round(x["lo"]["spread"], 3),
              "fleet_spread_full": round(x["lo"]["spread_full"], 3),
-             "clean": x["clean"], "qualifies": x["qualifies"]}
+             "clean": x["clean"], "qualifies": x["qualifies"],
+             "qualifies_substrate": x["qualifies_substrate"]}
             for x in blocks[(lo, hi)]]
     for c in sorted({p[1] for p in pairs}):  # envelopes gate solo legs only
         out[f"cpu_envelope_c{c}"] = round(env[c] * ENVELOPE_SLACK, 2)
         out[f"rejected_samples_c{c}"] = sum(
             1 for r in samples[c] if not _clean(c, r))
 
-    # headline = mean of ladders whose best block qualifies; both
-    # ladders are equally valid N→4N instantiations and both are always
-    # recorded with their drift and flatness.  No qualifying ladder →
-    # the flattest-CPU ladder with an explicit fallback tag, never a
+    # headline = mean over ladders whose best block qualifies of that
+    # block's EFFECTIVE efficiency (pristine → the wall number as
+    # measured; substrate-limited → discounted by the fleet's CPU/event
+    # excess — see the tier comment above).  Both ladders are equally
+    # valid N→4N instantiations and both are always recorded with their
+    # drift, flatness and tier.  No qualifying ladder → the
+    # flattest-CPU ladder with an explicit fallback tag, never a
     # silent max.
-    qual = [p for p in pairs if _best_block(p)["qualifies"]]
+    qual = [p for p in pairs if _q(_best_block(p))]
     if qual:
         out["scaling_pair"] = "+".join(f"{lo}_to_{hi}" for lo, hi in qual)
         out["scaling_selector"] = (
-            f"mean_of_qualifying_fleet_blocks_cpu_window"
-            f"_{FLAT_LO}_{FLAT_HI}_drift_{HI_DRIFT_MAX}"
+            "mean_of_qualifying_fleet_blocks["
+            + ",".join(f"{lo}_to_{hi}:{out[f'block_tier_{lo}_to_{hi}']}"
+                       for lo, hi in qual)
+            + f"]_cpu_window_{FLAT_LO}_{FLAT_HI}"
+            f"_substrate_{FLAT_SUBSTRATE}_drift_{HI_DRIFT_MAX}"
             f"_spread_{SPREAD_MAX}")
         out["scaling_efficiency"] = round(sum(
-            out[f"scaling_efficiency_{lo}_to_{hi}"]
+            out[f"scaling_efficiency_effective_{lo}_to_{hi}"]
             for lo, hi in qual) / len(qual), 3)
         out["cpu_scaling_efficiency"] = round(sum(
             out[f"cpu_scaling_efficiency_{lo}_to_{hi}"]

@@ -115,6 +115,22 @@ def test_uniform_fleet_contamination_retries_in_block():
     assert out["blocks_4_to_16"][-1]["qualifies"]
 
 
+def test_substrate_limited_fleet_qualifies_with_discounted_eff():
+    # the fleet burns 10% more CPU/event than the solo hi leg on every
+    # block (shared-substrate contention): blocks qualify at the
+    # substrate tier and contribute eff ÷ cpu_eff, never the raw wall
+    _fake_host(lambda c, i, cl: 21.0 * (1.10 if cl else 1.0))
+    out = _pair()
+    assert not out["block_qualifies_4_to_16"]  # not pristine
+    assert out["block_tier_4_to_16"] == "substrate_adjusted"
+    assert "substrate_adjusted" in out["scaling_selector"]
+    eff = out["scaling_efficiency_4_to_16"]
+    flat = out["cpu_scaling_efficiency_4_to_16"]
+    assert abs(out["scaling_efficiency_effective_4_to_16"]
+               - eff / flat) < 0.01
+    assert out["scaling_efficiency"] < eff  # discounted, not inflated
+
+
 def test_no_qualifier_falls_back_with_explicit_tag():
     # hi legs drift 20% between brackets on every block: nothing
     # qualifies, the selector must say so, never a silent max
