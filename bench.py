@@ -492,8 +492,8 @@ def _scaling_pair(n_changes: int = 400_000, replicate: int = 120,
                                     and FLAT_LO <= flat <= FLAT_SUBSTRATE)
         # the efficiency this block contributes if selected: pristine
         # blocks stand as measured, substrate-limited ones discounted
-        b["eff_effective"] = (b["eff"] if b["qualifies"]
-                              else round(b["eff"] / max(1.0, flat), 3))
+        b["eff_effective"] = round(
+            b["eff"] if b["qualifies"] else b["eff"] / max(1.0, flat), 3)
         return b
 
     # one block per ladder; retry blocks (in ladder priority order)
