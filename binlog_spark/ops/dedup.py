@@ -17,6 +17,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Raise scan parallelism for expression-heavy per-document work.
+
+    The documents table is a single small parquet file at the bench SFs,
+    so the scan plans as 1-2 input splits and every downstream
+    expression fused into the scan stage (shingling, hashing) runs on
+    1-2 cores no matter the cluster size.  A round-robin repartition to
+    the session's default parallelism costs one tiny text shuffle and
+    buys full-width execution; at real scale the scan already has more
+    splits than cores and this is a no-op."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content digest: canonical id + duplicate count per
     distinct text (md5 — oracle-checkable)."""
@@ -31,22 +47,69 @@ N_HASHES = 32
 BAND_SIZE = 4  # 8 bands of 4 hashes
 
 
-def _shingles(n: int = 3) -> F.Column:
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    # word n-grams via transform over indices
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+def _shingles(n: int = 3, toks: F.Column | None = None) -> F.Column:
+    """Word n-gram shingles of the token array.
+
+    Semantics (pinned by the golden oracles): tokens = split(trim(text),
+    '\\s+'); for >= n tokens the shingles are every n consecutive tokens
+    joined by one space; for < n tokens the single shingle is all tokens
+    joined by one space.  The per-element expression is three
+    ``element_at`` lookups + one flat ``concat`` — measured ~6x cheaper
+    than the previous ``concat_ws(slice(...))`` form, which allocated a
+    sub-array per shingle inside the interpreted higher-order transform
+    (guide §1.2 step 2: per-task work).  Pass a pre-projected ``toks``
+    column (see ``_doc_shingles``) so the split runs once per row, not
+    once per lambda element."""
+    if toks is None:
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+    sep = F.lit(" ")
+    full = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat(*[x for j in range(n)
+                             for x in ((sep,) if j else ())
+                             + (F.element_at(toks, i + j + 1),)]))
+    return F.when(F.size(toks) < n,
+                  F.array(F.concat_ws(" ", toks))).otherwise(full)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + distinct-shingle array, full-width.
+
+    The token array is projected to a real column first: an inline
+    ``split(...)`` referenced from inside the transform lambda is
+    re-evaluated per element (O(tokens²) re-splits per document — this
+    alone was most of the 50k-doc pipeline's wall); bound to an alias,
+    CollapseProject keeps it (non-cheap expression, multiply used) and
+    the split runs once per row."""
+    d = _spread(spark, _docs(spark, sf_dir))
+    toksed = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    return toksed.select(
+        "doc_id",
+        F.array_distinct(_shingles(toks=F.col("toks"))).alias("shs"))
+
+
+def _signature_cols(shs: F.Column) -> list:
+    """The N_HASHES minhash columns over a distinct-shingle array:
+    h{seed} = min over shingles of xxhash64(seed, shingle).  Computed
+    per document row with ``array_min(transform(...))`` — no explode, no
+    shuffle, no 32-column hash-aggregate state; the hash spec
+    (xxhash64 over the seed literal + shingle string) is byte-identical
+    to the exploded groupBy it replaces."""
+    def hash_with(seed: int):
+        # a one-arg lambda: F.transform treats a second parameter as a
+        # request for the element index, which would replace the seed
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
+    return [F.array_min(F.transform(shs, hash_with(seed)))
+            .alias(f"h{seed}") for seed in range(N_HASHES)]
 
 
 def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures: explode shingles once, hash with N seeds, min
-    per (doc, seed).  One explode + one groupBy — linear in corpus size."""
-    d = _docs(spark, sf_dir)
-    sh = (d.select("doc_id", F.explode(F.array_distinct(_shingles())).alias("sh")))
-    hashes = [F.min(F.xxhash64(F.lit(seed), "sh")).alias(f"h{seed}")
-              for seed in range(N_HASHES)]
-    return sh.groupBy("doc_id").agg(*hashes)
+    """MinHash signatures: distinct shingles per doc, hash with N seeds,
+    elementwise min — one map-side pass, linear in corpus size."""
+    return (_doc_shingles(spark, sf_dir)
+            .select("doc_id", *_signature_cols(F.col("shs"))))
 
 
 def doc_minhash_dups(spark: SparkSession, sf_dir: str,
@@ -152,11 +215,10 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str,
                       threshold: float = 0.5) -> DataFrame:
     """Exact n-gram Jaccard for LSH candidates: |A∩B| via a shingle-level
     join of candidates only (never all-pairs), |A∪B| = |A|+|B|−|A∩B|."""
-    d = _docs(spark, sf_dir)
     cand = doc_minhash_dups(spark, sf_dir, threshold=0.3) \
         .select("doc_a", "doc_b")
-    sh = (d.select("doc_id",
-                   F.explode(F.array_distinct(_shingles())).alias("sh")))
+    sh = (_doc_shingles(spark, sf_dir)
+          .select("doc_id", F.explode("shs").alias("sh")))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (cand
              .join(sh.alias("sa"), cand.doc_a == F.col("sa.doc_id"))
