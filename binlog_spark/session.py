@@ -87,7 +87,8 @@ def local_df(spark: SparkSession, rows: list, ddl: str):
     yields a JVM LocalTableScan instead.  DECIMAL columns are converted
     to ``decimal.Decimal`` up front (Arrow refuses raw ints there);
     any conversion surprise falls back to the slow-but-sure list path."""
-    from pyspark.sql.types import DecimalType, _parse_datatype_string
+    from pyspark.sql.types import (ByteType, DecimalType, IntegerType,
+                                   LongType, ShortType, _parse_datatype_string)
     st = _parse_datatype_string(ddl)
     if not rows:
         return spark.createDataFrame([], st)
@@ -96,11 +97,19 @@ def local_df(spark: SparkSession, rows: list, ddl: str):
 
         import pandas as pd
         names = [f.name for f in st.fields]
-        pdf = pd.DataFrame(list(rows), columns=names)
-        for f in st.fields:
+        raw = list(rows)
+        pdf = pd.DataFrame(raw, columns=names)
+        for i, f in enumerate(st.fields):
             if isinstance(f.dataType, DecimalType):
                 pdf[f.name] = pdf[f.name].map(
                     lambda v: None if v is None else decimal.Decimal(int(v)))
+            elif isinstance(f.dataType, (ByteType, ShortType, IntegerType,
+                                         LongType)):
+                # the pd.DataFrame constructor infers float64 for int
+                # columns containing None, silently rounding values above
+                # 2^53 (e.g. pack_ord with file_no >= 256); rebuild the
+                # column from the raw Python ints as nullable Int64
+                pdf[f.name] = pd.array([r[i] for r in raw], dtype="Int64")
         return spark.createDataFrame(pdf, st)
     except Exception:
         return spark.createDataFrame(rows, st)
