@@ -154,10 +154,9 @@ def stream_apply_multi(spark: SparkSession, dump_dir: str, lake_root: str,
         tables = ensure_tables(lake_root, registry, n_buckets=n_buckets)
         bid = f"stream-{checkpoint_dir}-{batch_id}"
         staging = _os.path.join(lake_root, f".stream-batch-{batch_id}")
+        from ..cdc.multi import stage_events
         events = decode_changes_vals(batch_df)
-        (events.filter(F.col("crc_ok"))
-         .write.partitionBy("table_schema", "table_name")
-         .mode("overwrite").parquet(staging))
+        stage_events(events, staging)
         apply_staged_batch(spark, staging, registry, tables, bid,
                            broadcast_winners=broadcast_winners)
         _shutil.rmtree(staging, ignore_errors=True)
