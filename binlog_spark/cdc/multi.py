@@ -555,7 +555,12 @@ def replay_generic(spark: SparkSession, dump_dir: str, lake_root: str, *,
         if all(bid in t.committed_batch_ids() for t in tables.values()):
             continue
         cdf = spans_df(spark, spans)
-        events = decode_changes_vals(cdf, partitions=partitions)
+        if partitions is None:
+            from ..decoder.chunks import decode_parallelism
+            parts = decode_parallelism(spark, spans)
+        else:
+            parts = partitions
+        events = decode_changes_vals(cdf, partitions=parts)
         staging = os.path.join(lake_root, f".batch-{bid}")
         # ONE decode execution per batch: stage partitioned by table so
         # every per-table reduction reads only its own partition dirs

@@ -109,7 +109,12 @@ def replay(spark: SparkSession, dump_dir: str, table_root: str, *,
         if bid in committed:
             continue
         cdf = spans_df(spark, spans)
-        events = decode_changes(cdf, partitions=partitions)
+        if partitions is None:
+            from ..decoder.chunks import decode_parallelism
+            parts = decode_parallelism(spark, spans)
+        else:
+            parts = partitions
+        events = decode_changes(cdf, partitions=parts)
         # schema evolution: extras observed in this batch become real
         # columns; the MERGE widens the table schema accordingly.  Names
         # come from a driver-side TABLE_MAP scan — never from executing
@@ -121,13 +126,13 @@ def replay(spark: SparkSession, dump_dir: str, table_root: str, *,
             upserts = reduce_changes_minimal(
                 events, extra_names=extra_names,
                 broadcast_winners=broadcast_winners,
-                key_events=decode_keys(cdf, partitions=partitions),
+                key_events=decode_keys(cdf, partitions=parts),
                 wide_order=wide_order)
         else:
             # late materialization: winner search runs on the cheap
             # key-only decode; the full decode is joined against the
             # winner set once
-            keys = decode_keys(cdf, partitions=partitions)
+            keys = decode_keys(cdf, partitions=parts)
             upserts = reduce_changes(events, salt_buckets=salt_buckets,
                                      key_events=keys,
                                      broadcast_winners=broadcast_winners,
