@@ -48,8 +48,12 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") < F.lit("1998-06-01"))
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-06-01"))
+    # dim filter BEFORE the fact shuffle: broadcast-semi the BUILDING
+    # customers into orders first, so the lineitem⋈orders exchange moves
+    # only qualifying orders (guide §2.3: shuffle fewer bytes)
+    orders = orders.join(F.broadcast(cust),
+                         orders.o_custkey == cust.c_custkey)
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
             .groupBy("l_orderkey",
                      F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
             .agg(F.round(F.sum(F.col("l_extendedprice")
@@ -68,13 +72,21 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
         & (F.col("o_orderdate") < F.lit("1999-01-01")))
     li = _t(spark, sf_dir, "lineitem")
+    # restrict suppliers to ASIA nations BEFORE the fact joins (the
+    # region/nation dims broadcast into supplier, not into the joined
+    # fact stream): the supplier join then probes 1/5 the rows and the
+    # post-join stream never carries non-ASIA rows (guide §2.3)
+    supp_asia = (supp
+                 .join(F.broadcast(nation),
+                       supp.s_nationkey == nation.n_nationkey)
+                 .join(F.broadcast(region),
+                       nation.n_regionkey == region.r_regionkey)
+                 .select("s_suppkey", "s_nationkey", "n_name"))
     return (li
             .join(orders, li.l_orderkey == orders.o_orderkey)
             .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-            .join(supp, (li.l_suppkey == supp.s_suppkey)
-                  & (cust.c_nationkey == supp.s_nationkey))
-            .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .join(supp_asia, (li.l_suppkey == supp_asia.s_suppkey)
+                  & (cust.c_nationkey == supp_asia.s_nationkey))
             .groupBy("n_name")
             .agg(F.round(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -82,20 +94,31 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window-function coverage: dense_rank over aggregated spend."""
+    """Window-function coverage: dense_rank over aggregated spend.
+
+    Top-k FIRST (sort+limit → TakeOrderedAndProject, like q3), THEN the
+    rank window over just those k rows: the previous global dense_rank
+    funnelled every per-customer aggregate through one window partition
+    (VERDICT r5 #7).  The window's order key includes the unique
+    c_custkey, so there are no ties and the first 10 dense_ranks over
+    the full set equal the ranks over the top-10 — same rows, same
+    ranks."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     spend = (orders.groupBy("o_custkey")
              .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
                   F.count("*").alias("n_orders")))
-    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
-    return (spend.join(F.broadcast(cust), spend.o_custkey == cust.c_custkey)
-            .select(F.col("c_custkey"), F.col("c_name"), F.col("c_mktsegment"),
-                    F.col("total_spend"), F.col("n_orders"))
-            .withColumn("spend_rank",
-                        F.dense_rank().over(
-                            Window.orderBy(F.desc("total_spend"),
-                                           F.asc("c_custkey"))).cast("long"))
+    top = (spend.join(F.broadcast(cust), spend.o_custkey == cust.c_custkey)
+           .select(F.col("c_custkey"), F.col("c_name"),
+                   F.col("c_mktsegment"), F.col("total_spend"),
+                   F.col("n_orders"))
+           .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+           .limit(10))
+    return (top.withColumn("spend_rank",
+                           F.dense_rank().over(
+                               Window.orderBy(F.desc("total_spend"),
+                                              F.asc("c_custkey")))
+                           .cast("long"))
             .filter(F.col("spend_rank") <= 10)
             .orderBy("spend_rank"))
 

@@ -34,16 +34,25 @@ def _norm(c: str) -> F.Column:
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str,
                         n_queries: int = 5, k: int = 3) -> DataFrame:
     """Exact cosine top-k for the first ``n_queries`` vectors (self
-    excluded).  The query side is broadcast — the corpus is scanned once."""
-    emb = _emb(spark, sf_dir)
+    excluded).  The query side is broadcast — the corpus is scanned once.
+
+    Norms are projected ONCE per row before the cross join (the same
+    fold expression, so the doubles are bit-identical): inlined they
+    re-ran per (query, vector) pair — n_queries× the corpus-norm work
+    in the interpreted higher-order fold.  The corpus scan is spread to
+    full width first (a single small parquet file plans as one split)."""
+    from .dedup import _spread
+    emb = _spread(spark, _emb(spark, sf_dir))
     q = (emb.filter(F.col("vec_id") < n_queries)
          .select(F.col("vec_id").alias("q_id"),
-                 F.col("embedding").alias("q_emb")))
-    pairs = (emb.crossJoin(F.broadcast(q))
+                 F.col("embedding").alias("q_emb"),
+                 _norm("embedding").alias("q_nrm")))
+    corp = emb.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
+    pairs = (corp.crossJoin(F.broadcast(q))
              .filter(F.col("vec_id") != F.col("q_id"))
              .select("q_id", "vec_id",
                      (_dot("embedding", "q_emb")
-                      / (_norm("embedding") * _norm("q_emb"))).alias("cos")))
+                      / (F.col("nrm") * F.col("q_nrm"))).alias("cos")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (pairs.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
