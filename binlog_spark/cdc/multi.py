@@ -230,7 +230,8 @@ _META = ("log_file", "log_pos", "seq_in_tx")
 
 def table_upserts(staged: DataFrame, columns: list[str], pk: list[str],
                   types: list[list] | None = None, *,
-                  broadcast_winners: bool = True) -> DataFrame:
+                  broadcast_winners: bool = True,
+                  wide_order: bool = False) -> DataFrame:
     """Generic-event rows of ONE table → reduced upsert batch keyed by pk.
 
     All-declarative: cells come out of the decoder's ordinal
@@ -294,7 +295,7 @@ def table_upserts(staged: DataFrame, columns: list[str], pk: list[str],
         .otherwise(F.array(as_struct()))
     events = ev.select(F.explode(arr).alias("r")).select("r.*")
 
-    keyed = events.withColumn("_ord", pack_ord())
+    keyed = events.withColumn("_ord", pack_ord(wide=wide_order))
     winners = keyed.groupBy(*pk).agg(F.max("_ord").alias("_ord"))
     if broadcast_winners:
         # checkpoint before broadcasting: a bare broadcast child runs
@@ -308,7 +309,8 @@ def table_upserts(staged: DataFrame, columns: list[str], pk: list[str],
 
 def table_upserts_minimal(staged: DataFrame, columns: list[str],
                           pk: list[str], types: list[list] | None = None, *,
-                          broadcast_winners: bool = True) -> DataFrame:
+                          broadcast_winners: bool = True,
+                          wide_order: bool = False) -> DataFrame:
     """Generic-event rows of ONE table with MINIMAL (partial) row images →
     reduced upsert batch keyed by pk.
 
@@ -380,7 +382,8 @@ def table_upserts_minimal(staged: DataFrame, columns: list[str],
     # the tombstone are inert (the melt excludes op='D')
     ev = with_key_change_tombstones(ev)
     up = _minimal_core(ev, [P + c for c in payload], F.col,
-                       broadcast_winners=broadcast_winners)
+                       broadcast_winners=broadcast_winners,
+                       wide_order=wide_order)
 
     karr = F.from_json(F.col("repo"), "array<string>")
     barr = F.from_json(F.col("base_repo"), "array<string>")
@@ -462,7 +465,8 @@ def ensure_tables(lake_root: str, registry: dict, *,
 def apply_staged_batch(spark: SparkSession, staging: str, registry: dict,
                        tables: dict, bid: str, *,
                        offsets: dict | None = None,
-                       broadcast_winners: bool = True) -> None:
+                       broadcast_winners: bool = True,
+                       wide_order: bool = False) -> None:
     """Merge one staged batch (parquet partitioned by schema/table) into
     every table — shared by batch replay and the streaming tail.
 
@@ -504,7 +508,8 @@ def apply_staged_batch(spark: SparkSession, staging: str, registry: dict,
             from .pipeline import release_minimal
             up = table_upserts_minimal(
                 spark.read.parquet(part), info["columns"], pk,
-                info["types"], broadcast_winners=broadcast_winners)
+                info["types"], broadcast_winners=broadcast_winners,
+                wide_order=wide_order)
             try:
                 t.merge(spark, up, batch_id=bid, offsets=offsets)
             finally:
@@ -515,7 +520,8 @@ def apply_staged_batch(spark: SparkSession, staging: str, registry: dict,
             return
         up = table_upserts(spark.read.parquet(part),
                            info["columns"], pk, info["types"],
-                           broadcast_winners=broadcast_winners)
+                           broadcast_winners=broadcast_winners,
+                           wide_order=wide_order)
         t.merge(spark, up, batch_id=bid, offsets=offsets)
 
     # per-table applies are independent (own lake roots, own
@@ -537,16 +543,35 @@ def replay_generic(spark: SparkSession, dump_dir: str, lake_root: str, *,
                    chunks_per_batch: int | None = None,
                    partitions: int | None = None,
                    n_buckets: int = 8,
-                   broadcast_winners: bool = True) -> dict:
+                   broadcast_winners: bool = True,
+                   wide_order: bool | None = None) -> dict:
     """Replay a multi-table dump into one lake table per source table,
     with TYPED lake columns mapped from each TABLE_MAP's column types.
 
     Same exactly-once contract as cdc.replay.replay: deterministic
     batch_ids, per-table committed-batch skip, resumable mid-dump AND
     mid-batch (a crash between two tables' merges re-runs the batch; the
-    already-committed table skips it)."""
+    already-committed table skips it).
+
+    ``wide_order``: None auto-enables the DECIMAL order key from the
+    manifest's ``max_tx_rows`` — same contract as cdc.replay.replay
+    (ADVICE r5: the multi path previously always used the clamped
+    narrow order)."""
+    if wide_order is None:
+        try:
+            from ..decoder.chunks import read_manifest
+            wide_order = read_manifest(dump_dir).get(
+                "max_tx_rows", 0) > 32767
+        except (OSError, ValueError, KeyError):
+            wide_order = False
     all_chunks = [tuple(r) for r in chunks_df(spark, dump_dir).collect()]
     cdf_all = spans_df(spark, all_chunks)
+    # byte-derived width for the registry scan too: the lean TABLE_MAP
+    # hop is so cheap that near-empty mapInArrow tasks dominate it
+    from ..decoder.chunks import decode_parallelism
+    reg_parts = decode_parallelism(spark, all_chunks)
+    if reg_parts:
+        cdf_all = cdf_all.repartition(reg_parts)
     registry = scan_table_registry(spark, cdf_all)
     tables = ensure_tables(lake_root, registry, n_buckets=n_buckets)
 
@@ -571,6 +596,7 @@ def replay_generic(spark: SparkSession, dump_dir: str, lake_root: str, *,
         apply_staged_batch(spark, staging, registry, tables, bid,
                            offsets={"log_file": last_file,
                                     "next_pos": int(last_end)},
-                           broadcast_winners=broadcast_winners)
+                           broadcast_winners=broadcast_winners,
+                           wide_order=wide_order)
         shutil.rmtree(staging, ignore_errors=True)
     return tables

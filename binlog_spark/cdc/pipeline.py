@@ -536,12 +536,21 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
             fin = fin.localCheckpoint(eager=False)
             if fin.join(hint(hop), _hop_cond(), "inner").isEmpty():
                 break
-            if rounds >= 1400:
+            # a legal chain is bounded by the edge count (each hop
+            # strictly raises in_ord and consumes one window), so the
+            # round budget scales with the edge set instead of a fixed
+            # constant — a long-but-legal chain converges, only a
+            # violated invariant can exhaust this (ADVICE r5)
+            if rounds >= max(1400, n_edges + 14):
                 raise RuntimeError(
                     "reduce_changes_minimal: key-move composition still "
-                    f"unconverged after {rounds} hops — the strictly-"
-                    "increasing in_ord invariant is violated; refusing "
-                    "to mis-route")
+                    f"unconverged after {rounds} hops over {n_edges} "
+                    "edges — a chain cannot legally be longer than the "
+                    "edge count (each hop strictly raises in_ord), so "
+                    "the edge set is inconsistent; refusing to "
+                    "mis-route.  If this batch is legitimate, replay "
+                    "with a smaller chunks_per_batch so the edge set "
+                    "fits the exact driver-side closure")
         # remap: events at a moved-from key inside the edge's window
         # follow the chain to the final key
         remap = fin.select(F.col("f_r").alias("r_r"),

@@ -312,6 +312,7 @@ def _decode(data: bytes, log_file: str, has_magic: bool,
 
     tme_cache: dict[int, object] = {}
     widths_cache: dict[int, tuple | None] = {}  # tid -> fast-layout widths
+    rotated_ids: set[int] = set()  # table_ids evicted by a ROTATE
     tme_body_cache: dict[bytes, object] = {}
     last_tm_body: bytes | None = None
     gtid_strs: list[str] = []
@@ -346,6 +347,12 @@ def _decode(data: bytes, log_file: str, has_magic: bool,
                 bpos += extra
             entry = widths_cache.get(tid, False)
             if entry is False:
+                if tid in rotated_ids:
+                    # the classic kernel keeps its TableMap cache across
+                    # ROTATE and would decode this event — decline the
+                    # chunk so it stays authoritative (ADVICE r5: a skip
+                    # here silently DROPPED the rows instead)
+                    raise _Fallback
                 pos = end
                 continue  # no TABLE_MAP seen -- classic kernel skips too
             if entry is None:
@@ -408,6 +415,7 @@ def _decode(data: bytes, log_file: str, has_magic: bool,
             cur_gidx = len(gtid_strs) - 1
             txid += 1
         elif c == _CAT_ROT:
+            rotated_ids.update(widths_cache)
             tme_cache.clear()  # (/root/reference/binlog.go:42)
             widths_cache.clear()
             last_tm_body = None

@@ -146,6 +146,14 @@ def stream_apply_multi(spark: SparkSession, dump_dir: str, lake_root: str,
     from ..decoder.generic import decode_changes_vals
 
     blobs = stream_blobs(spark, dump_dir)
+    # same manifest auto-enable as replay_generic (ADVICE r5): a stream
+    # whose dump records >32767-row transactions needs the unclamped
+    # DECIMAL order key
+    try:
+        from ..decoder.chunks import read_manifest
+        wide_order = read_manifest(dump_dir).get("max_tx_rows", 0) > 32767
+    except (OSError, ValueError, KeyError):
+        wide_order = False
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         registry = scan_table_registry_blobs(batch_df)
@@ -158,7 +166,8 @@ def stream_apply_multi(spark: SparkSession, dump_dir: str, lake_root: str,
         events = decode_changes_vals(batch_df)
         stage_events(events, staging)
         apply_staged_batch(spark, staging, registry, tables, bid,
-                           broadcast_winners=broadcast_winners)
+                           broadcast_winners=broadcast_winners,
+                           wide_order=wide_order)
         _shutil.rmtree(staging, ignore_errors=True)
         if on_batch is not None:
             on_batch(batch_id, {t: tbl.current_snapshot_id()
