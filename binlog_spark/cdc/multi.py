@@ -543,7 +543,7 @@ def replay_generic(spark: SparkSession, dump_dir: str, lake_root: str, *,
                    chunks_per_batch: int | None = None,
                    partitions: int | None = None,
                    n_buckets: int = 8,
-                   broadcast_winners: bool = True,
+                   broadcast_winners: bool | None = None,
                    wide_order: bool | None = None) -> dict:
     """Replay a multi-table dump into one lake table per source table,
     with TYPED lake columns mapped from each TABLE_MAP's column types.
@@ -580,6 +580,12 @@ def replay_generic(spark: SparkSession, dump_dir: str, lake_root: str, *,
         if all(bid in t.committed_batch_ids() for t in tables.values()):
             continue
         cdf = spans_df(spark, spans)
+        if broadcast_winners is None:
+            from .pipeline import BROADCAST_WINNERS_MIN_BYTES
+            bw = (sum(int(sp[3]) for sp in spans)
+                  >= BROADCAST_WINNERS_MIN_BYTES)
+        else:
+            bw = broadcast_winners
         if partitions is None:
             from ..decoder.chunks import decode_parallelism
             parts = decode_parallelism(spark, spans)
@@ -596,7 +602,7 @@ def replay_generic(spark: SparkSession, dump_dir: str, lake_root: str, *,
         apply_staged_batch(spark, staging, registry, tables, bid,
                            offsets={"log_file": last_file,
                                     "next_pos": int(last_end)},
-                           broadcast_winners=broadcast_winners,
+                           broadcast_winners=bw,
                            wide_order=wide_order)
         shutil.rmtree(staging, ignore_errors=True)
     return tables

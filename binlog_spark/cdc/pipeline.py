@@ -299,6 +299,13 @@ def reduce_changes_minimal(events: DataFrame,
                          key_good=key_good, wide_order=wide_order)
 
 
+#: batches below this many bytes of binlog input take the shuffle-join
+#: winner plan (one job, no broadcast-checkpoint materializations);
+#: larger batches broadcast the per-key winner sets so the payload
+#: stream is never re-shuffled.  Data-size derived, not core-count
+#: derived, so the same rule holds on a cluster.
+BROADCAST_WINNERS_MIN_BYTES = 256 << 20
+
 #: key-move edge sets at or below this size are closed on the driver
 #: (exact chain-following, any length, cycle-checked) instead of via the
 #: 14-round distributed composition.  Edges are one row per KEY-MOVING

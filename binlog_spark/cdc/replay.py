@@ -68,7 +68,7 @@ def replay(spark: SparkSession, dump_dir: str, table_root: str, *,
            compact_every: int | None = None,
            compact_tombstone_ratio: float | None = None,
            minimal_images: bool = False,
-           broadcast_winners: bool = True,
+           broadcast_winners: bool | None = None,
            wide_order: bool | None = None) -> LakeTable:
     """Replay a dump dir into a lake table; safe to re-run (idempotent).
 
@@ -81,6 +81,14 @@ def replay(spark: SparkSession, dump_dir: str, table_root: str, *,
     binlog_row_image=MINIMAL — partial after-images are column PATCHES;
     the reduction runs per column (reduce_changes_minimal) and the MERGE
     coalesces unresolved columns from the existing rows.
+
+    ``broadcast_winners``: None (default) auto-selects per batch — the
+    per-key winner sets broadcast only when the batch is large enough
+    (>= BROADCAST_WINNERS_MIN_BYTES of binlog input) that re-shuffling
+    the payload stream would dominate; a small batch takes the shuffle
+    plan, which runs as one job with no checkpoint materializations
+    (measured ~30% faster at <=76 MB batches, identical fingerprints;
+    the broadcast plan stays ~2x faster at 1.5 GB).
 
     ``wide_order``: DECIMAL order key with no 32767 seq clamp, for
     single transactions beyond 32k rows on one key (pack_ord wide).
@@ -109,6 +117,12 @@ def replay(spark: SparkSession, dump_dir: str, table_root: str, *,
         if bid in committed:
             continue
         cdf = spans_df(spark, spans)
+        if broadcast_winners is None:
+            from .pipeline import BROADCAST_WINNERS_MIN_BYTES
+            bw = (sum(int(sp[3]) for sp in spans)
+                  >= BROADCAST_WINNERS_MIN_BYTES)
+        else:
+            bw = broadcast_winners
         if partitions is None:
             from ..decoder.chunks import decode_parallelism
             parts = decode_parallelism(spark, spans)
@@ -125,7 +139,7 @@ def replay(spark: SparkSession, dump_dir: str, table_root: str, *,
             # decoded once (into the reduction's stream checkpoint)
             upserts = reduce_changes_minimal(
                 events, extra_names=extra_names,
-                broadcast_winners=broadcast_winners,
+                broadcast_winners=bw,
                 key_events=decode_keys(cdf, partitions=parts),
                 wide_order=wide_order)
         else:
@@ -135,7 +149,7 @@ def replay(spark: SparkSession, dump_dir: str, table_root: str, *,
             keys = decode_keys(cdf, partitions=parts)
             upserts = reduce_changes(events, salt_buckets=salt_buckets,
                                      key_events=keys,
-                                     broadcast_winners=broadcast_winners,
+                                     broadcast_winners=bw,
                                      wide_order=wide_order)
             upserts, _new_cols = flatten_extras(upserts, names=extra_names)
         last_file = max(s[1] for s in spans)
