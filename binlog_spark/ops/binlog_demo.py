@@ -242,11 +242,11 @@ def _render_tables(spark: SparkSession, tables: dict) -> DataFrame:
     out = None
     for (sch, tbl), t in sorted(tables.items()):
         pk = list(t.key_cols)
-        cols = t.read(spark).columns
-        df = t.read(spark).select(
+        base = t.read(spark)
+        df = base.select(
             F.lit(sch).alias("table_schema"), F.lit(tbl).alias("table_name"),
             F.to_json(F.struct(*pk)).alias("pk_json"),
-            F.to_json(F.struct(*cols)).alias("row_json"))
+            F.to_json(F.struct(*base.columns)).alias("row_json"))
         out = df if out is None else out.unionByName(df)
     return out.orderBy("table_schema", "table_name", "pk_json")
 
