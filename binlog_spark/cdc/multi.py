@@ -19,9 +19,10 @@ Scale shape:
     read their own partition directories — the decode is never re-run
     per table, and partition pruning makes each table's read touch only
     its own files
-  * per-table reduction reuses the packed-order winner search
-    (cdc.pipeline.pack_ord): max(BIGINT) HashAggregate + broadcast join,
-    so payload bytes are never shuffled
+  * per-table reduction is a single argmax aggregation on the packed
+    commit order (cdc.pipeline.pack_ord): one read of the table's staged
+    partition, map-side partial aggregation discards losing rows before
+    the shuffle — only winner rows ever shuffle
 """
 
 from __future__ import annotations
@@ -238,11 +239,11 @@ def table_upserts(staged: DataFrame, columns: list[str], pk: list[str],
     ``array<string>`` via element_at (no JSON parse per image) and are
     cast to the lake's typed columns; the key-change tombstone explode of
     cdc.pipeline.with_key_change_tombstones generalizes to arbitrary
-    keys; then the packed-order winner search.
+    keys; then a single-pass packed-order argmax (see the winner-search
+    comment below).
 
-    ``broadcast_winners=False`` for batches whose distinct-key count
-    exceeds driver memory — the winner join then shuffles instead
-    (same escape hatch as cdc.pipeline.last_writer_wins)."""
+    ``broadcast_winners`` is accepted for API compatibility; the
+    single-pass argmax has no separate winner set to broadcast."""
     payload = [c for c in columns if c not in pk]
     a_cols = [f"_a_{c}" for c in columns]
     b_cols = [f"_b_{c}" for c in pk]
@@ -295,16 +296,23 @@ def table_upserts(staged: DataFrame, columns: list[str], pk: list[str],
         .otherwise(F.array(as_struct()))
     events = ev.select(F.explode(arr).alias("r")).select("r.*")
 
+    # winner search as ONE argmax aggregation: ``max(struct(_ord, row))``
+    # is the per-key latest row because struct comparison is
+    # lexicographic and ``_ord`` (the packed commit order, distinct per
+    # event — only identical redelivered replicas tie, with identical
+    # payloads) leads the struct.  Replaces the former max(_ord)
+    # winner-set + join-back + dropDuplicates pipeline: the staged
+    # parquet is read ONCE instead of twice, and two shuffles + a
+    # checkpoint materialization collapse into one aggregation whose
+    # map-side partial discards losing rows before the shuffle — the
+    # bytes shuffled (per-task winner rows) match what the old plan's
+    # dropDuplicates already shuffled.
     keyed = events.withColumn("_ord", pack_ord(wide=wide_order))
-    winners = keyed.groupBy(*pk).agg(F.max("_ord").alias("_ord"))
-    if broadcast_winners:
-        # checkpoint before broadcasting: a bare broadcast child runs
-        # its final aggregation as one serial collect task (see
-        # cdc.pipeline.last_writer_wins)
-        winners = F.broadcast(winners.localCheckpoint(eager=False))
-    return (keyed.join(winners, on=[*pk, "_ord"], how="inner")
-            .dropDuplicates(list(pk))
-            .select(*pk, "op", *payload, *_META, "gtid", "ts_sec"))
+    out_fields = ["op", *payload, *_META, "gtid", "ts_sec"]
+    agg = keyed.groupBy(*pk).agg(F.max(F.struct(
+        F.col("_ord"), *[F.col(c) for c in out_fields])).alias("_w"))
+    return agg.select(
+        *pk, *[F.col("_w")[c].alias(c) for c in out_fields])
 
 
 def table_upserts_minimal(staged: DataFrame, columns: list[str],

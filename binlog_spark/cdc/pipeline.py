@@ -220,9 +220,11 @@ def reduce_changes_minimal(events: DataFrame,
     Per key: a *barrier* is any full-image event (I, full U) or a delete —
     column values from before the latest barrier are dead.  Each payload
     column's winner is the latest event at-or-after the barrier where the
-    column was present.  All HashAggregates (melt → per-(key,col) max →
-    value join → pivot); no var-length aggregation buffers, no driver
-    state.
+    column was present.  Computed in ONE aggregation pass over the
+    stream (per-column ``max(struct(order, value))`` argmaxes + the
+    barrier max, checked against each other after the aggregation —
+    equivalent because max is a selection); map-side partial aggregation
+    means only winning cells reach the shuffle.  No driver state.
 
     Key-moving partial UPDATEs inherit the unchanged columns of the row
     at the OLD key (the physical row keeps them in MySQL): events that
@@ -251,12 +253,12 @@ def reduce_changes_minimal(events: DataFrame,
       * a remapped event is DEAD if its source-key window has its own
         move-in and the event precedes it (the old row that occupied the
         key before the tracked row arrived);
-      * dead events are excluded from both the melt and the barrier set;
-      * effective order = (arrival position, own order) packed into one
-        DECIMAL(38,0) — remapped events rank at their chain's arrival at
-        the final key (just before the move-in event), natives at their
-        own position.  Decimal is fixed-width in aggregation buffers, so
-        the per-(key,col) winner search stays a HashAggregate.
+      * dead events are excluded from the column-winner and barrier
+        argmaxes;
+      * effective order = the (arrival position, own order) pair,
+        compared lexicographically — remapped events rank at their
+        chain's arrival at the final key (just before the move-in
+        event), natives at their own position.
 
     Output matches reduce_changes plus ``present_cols``: null = the row
     fully resolved within this batch; else a csv of the columns this
@@ -268,15 +270,15 @@ def reduce_changes_minimal(events: DataFrame,
     order (true for replay and the streaming tail; idempotent re-delivery
     of the same batch is safe).
 
-    ``broadcast_winners``: per-key aggregates (winner/barrier/column-
-    winner sets) are broadcast by default so the payload stream never
-    shuffles; disable for batches whose distinct-key count exceeds driver
-    memory — the joins then shuffle (mirrors ``last_writer_wins``).
+    ``broadcast_winners``: with the single-pass reduction this only
+    controls the >100k-edge distributed key-move closure's join strategy
+    (the per-key winner sets it used to broadcast no longer exist as
+    separate frames); kept for API compatibility.
 
     ``key_events``: optionally a cheap key-only decode of the same
     chunks (decoder.kernel.decode_keys) — the key-move EDGE probe runs
     on it instead of the full decode, so payload bytes are decoded
-    exactly once (into the stream's plan-truncating local checkpoint).
+    exactly once (inside the single reduction pass).
 
     The returned DataFrame carries ``_persisted_source`` for API
     compatibility (always None: the reduction no longer caches the
@@ -414,19 +416,16 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
     ``wide_order``: DECIMAL(38,0) order with no seq clamp, for single
     transactions beyond 32767 rows on one key (the reference streams
     rows lazily and has no such limit, /root/reference/rbr.go:308-350).
-    The wide ``_ord`` can reach ~2^80, so the narrow path's packed
-    effective order (pos·2^63 + ord, one DECIMAL(38,0)) would overflow —
-    the wide path instead carries ``(_pos, _ord)`` as two decimals and
-    runs every lexicographic winner search as a two-stage HashAggregate
-    (max pos → filter at max pos → max ord), trading one extra agg+join
-    per winner set for exact unbounded order."""
+    The winner argmaxes compare the ``(_pos, _ord)`` struct
+    lexicographically, which is order-type agnostic — narrow (long) and
+    wide (decimal) share the same single-pass code."""
     hint = F.broadcast if broadcast_winners else (lambda df: df)
     # NO persist of the decoded stream: a payload-string columnar cache
     # build costs more than recomputing the decode (measured round 1 and
-    # again round 4 — 153 core-sec for a 40k-change batch).  Instead the
-    # stream is materialized exactly once into the plan-truncating local
-    # checkpoint below, and the key-move EDGE probe runs on ``key_good``
-    # (a length-skipping key-only decode, ~3-4× cheaper) when provided.
+    # again round 4 — 153 core-sec for a 40k-change batch).  The stream
+    # is consumed by exactly ONE aggregation pass below, and the
+    # key-move EDGE probe runs on ``key_good`` (a length-skipping
+    # key-only decode, ~3-4× cheaper) when provided.
     ev = good.withColumn("_ord", pack_ord(wide=wide_order))
     ord_type = "decimal(38,0)" if wide_order else "long"
 
@@ -477,7 +476,7 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
     spark = good.sparkSession
     if n_edges == 0:
         # move-free batch: no remap, nothing dead, no origin keys —
-        # straight to barrier/melt/pivot over the checkpointed stream
+        # straight to the single reduction pass over the stream
         remap = min_in = origin = None
         ev = (ev.withColumn("_in", F.lit(None).cast(ord_type))
               .withColumn("_dead", F.lit(False)))
@@ -620,129 +619,94 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
                              & F.col("_min_in").isNotNull()
                              & (F.col("_ord") < F.col("_min_in"))))
               .drop("n_r", "n_p", "_min_in"))
-    # effective order (arrival position, own order) as one DECIMAL(38,0):
-    # remapped events rank at their chain's arrival at the final key —
-    # 2^63·pos + own fits in 38 digits (< 1e38) and decimal aggregation
-    # buffers are fixed-width, so max(_eff) stays a HashAggregate
-    if wide_order:
-        # the wide _ord reaches ~2^80 — a packed (pos, ord) product
-        # overflows DECIMAL(38,0), so the effective order stays a PAIR
-        # of decimals and winner searches go two-stage (see docstring)
-        ev = ev.withColumn("_pos", F.coalesce(F.col("_in"), F.col("_ord")))
-    else:
-        pos = F.coalesce(F.col("_in"), F.col("_ord")).cast("decimal(20,0)")
-        ev = ev.withColumn(
-            "_eff",
-            (pos * F.lit("9223372036854775808").cast("decimal(20,0)")
-             + F.col("_ord")).cast("decimal(38,0)"))
-    # the stream's ONE materialization: the barrier set, winner search,
-    # melt and top sub-plans reference this ~6× — the checkpoint both
-    # truncates the analyzed plan (Catalyst ANALYSIS of the re-embedded
-    # decode subtree was costing multiples of the execution) and stores
-    # the decoded+remapped rows once, replacing the former persist()
-    # whose columnar string-cache build cost more than the decode.
-    # Lazy: the first downstream action materializes it.
-    ev = ev.localCheckpoint(eager=False)
-    alive = ev.filter(~F.col("_dead"))
+    # effective order = (arrival position, own order), compared
+    # LEXICOGRAPHICALLY as a struct: remapped events rank at their
+    # chain's arrival at the final key, natives at their own position.
+    # The struct compare subsumes both the narrow (former packed
+    # pos·2^63+ord DECIMAL — identical ordering since 0 ≤ _ord < 2^63)
+    # and the wide DECIMAL order (former two-stage max-pos-then-max-ord
+    # searches — identical by definition of lexicographic max), so the
+    # two winner-search code paths collapse into one.
+    ev = ev.withColumn("_pos", F.coalesce(F.col("_in"), F.col("_ord")))
 
-    def bhint(df: DataFrame) -> DataFrame:
-        """Broadcast a per-key aggregate.  Checkpoint first: a bare
-        broadcast child runs its FINAL aggregation as one serial collect
-        task over every map task's combine output (see
-        last_writer_wins); the lazy checkpoint keeps it distributed."""
-        if not broadcast_winners:
-            return df
-        return F.broadcast(df.localCheckpoint(eager=False))
-
+    # ONE aggregation pass replaces the former melt → barrier join →
+    # per-(key,col) winner search → value join-back → pivot → top join
+    # pipeline (r6: each of those was a shuffle, an adaptive stage and a
+    # codegen unit; at real batch sizes they were extra passes over the
+    # stream, and at the bench fixture sizes their per-stage fixed cost
+    # WAS the query).  Correctness: max is a *selection*, so filtering
+    # candidates to ``eff >= barrier`` before the max is equivalent to
+    # taking the unfiltered max and testing it against the barrier
+    # afterwards — if the max passes the filter it is the filtered max,
+    # and if it fails no candidate passes (the latest alive barrier can
+    # only out-rank every candidate when it is a DELETE; a full-image
+    # barrier is itself a candidate for every column).  The
+    # lexicographic ``max(struct(_pos, _ord, v))`` is the argmax by
+    # (_pos, _ord): pairs are distinct per event — only identical
+    # redelivered replicas tie, and their payloads are byte-identical.
+    # Scale shape: one pass over the stream with map-side partial
+    # aggregation — one row per key per task reaches the shuffle,
+    # carrying the winning cells only, never the losing payload bytes.
+    # (The former plan also needed the stream materialized into a local
+    # checkpoint because ~6 sub-plans re-read it; a single pass makes
+    # that materialization pointless and it is gone.)
+    dead = F.col("_dead")
     is_barrier = (F.col("op") == "D") | F.col("present_cols").isNull()
-    barrier_ev = alive.filter(is_barrier)
+    pres_arr = F.split("present_cols", ",")
+    aggs = [
+        # the key's latest event (op + commit-order metadata) over ALL
+        # events incl. dead generations — argmax by _ord (first field;
+        # every dead event is out-ranked by an alive move-in at the same
+        # key, so this equals the old top-of-ev search)
+        F.max(F.struct(
+            F.col("_ord"), F.col("op"), *[F.col(c) for c in ORDER_COLS],
+            F.col("gtid"), F.col("ts_sec"))).alias("_top"),
+        # latest alive barrier (full image or delete)
+        F.max(F.when(is_barrier & ~dead,
+                     F.struct(F.col("_pos").alias("_pos"),
+                              F.col("_ord").alias("_ord")))).alias("_bar"),
+    ]
+    for c in payload:
+        present = (F.col("present_cols").isNull()
+                   | F.array_contains(pres_arr, F.lit(c)))
+        aggs.append(F.max(F.when(
+            ~dead & (F.col("op") != "D") & present,
+            F.struct(F.col("_pos").alias("_pos"),
+                     F.col("_ord").alias("_ord"),
+                     value_of(c).alias("v")))).alias(f"_w_{c}"))
+    out = ev.groupBy(*KEY_COLS).agg(*aggs)
 
-    top_ord = ev.groupBy(*KEY_COLS).agg(F.max("_ord").alias("_ord"))
-    top = (ev.join(bhint(top_ord), on=[*KEY_COLS, "_ord"],
-                   how="inner")
-           .dropDuplicates(list(KEY_COLS))
-           .select(*KEY_COLS, "op", *ORDER_COLS, "gtid", "ts_sec", "_ord"))
-
-    entries = F.array(*[
-        F.struct(F.lit(c).alias("c"), value_of(c).alias("v"),
-                 (F.col("present_cols").isNull()
-                  | F.array_contains(F.split("present_cols", ","),
-                                     F.lit(c))).alias("p"))
-        for c in payload])
-    eff_cols = ("_pos", "_ord") if wide_order else ("_eff",)
-    melted = (alive.filter(F.col("op") != "D")
-              .select(*KEY_COLS, *eff_cols,
-                      F.explode(entries).alias("e"))
-              .filter(F.col("e.p"))
-              .select(*KEY_COLS, *eff_cols, F.col("e.c").alias("_col"),
-                      F.col("e.v").alias("_val")))
-    if wide_order:
-        # lexicographic (pos, ord) winner searches as two-stage
-        # HashAggregates — max pos, filter at max pos, max ord
-        bar1 = (barrier_ev.groupBy(*KEY_COLS)
-                .agg(F.max("_pos").alias("_bar_pos")))
-        bar = (barrier_ev
-               .join(bhint(bar1), on=list(KEY_COLS), how="inner")
-               .filter(F.col("_pos") == F.col("_bar_pos"))
-               .groupBy(*KEY_COLS)
-               .agg(F.max("_pos").alias("_bar_pos"),
-                    F.max("_ord").alias("_bar_ord")))
-        melted = (melted.join(bhint(bar), on=list(KEY_COLS), how="left")
-                  .filter(F.col("_bar_pos").isNull()
-                          | (F.col("_pos") > F.col("_bar_pos"))
-                          | ((F.col("_pos") == F.col("_bar_pos"))
-                             & (F.col("_ord") >= F.col("_bar_ord"))))
-                  .drop("_bar_pos", "_bar_ord"))
-        win_pos = (melted.groupBy(*KEY_COLS, "_col")
-                   .agg(F.max("_pos").alias("_pos")))
-        at_pos = melted.join(bhint(win_pos),
-                             on=[*KEY_COLS, "_col", "_pos"], how="inner")
-        win_ord = (at_pos.groupBy(*KEY_COLS, "_col")
-                   .agg(F.max("_ord").alias("_ord")))
-        resolved = (at_pos.join(bhint(win_ord),
-                                on=[*KEY_COLS, "_col", "_ord"],
-                                how="inner")
-                    .dropDuplicates([*KEY_COLS, "_col"]))
-    else:
-        bar = (barrier_ev.groupBy(*KEY_COLS)
-               .agg(F.max("_eff").alias("_bar")))
-        melted = (melted.join(bhint(bar), on=list(KEY_COLS), how="left")
-                  .filter(F.col("_eff") >= F.coalesce(
-                      F.col("_bar"), F.lit(-1).cast("decimal(38,0)")))
-                  .drop("_bar"))
-        col_winners = (melted.groupBy(*KEY_COLS, "_col")
-                       .agg(F.max("_eff").alias("_eff")))
-        resolved = (melted.join(bhint(col_winners),
-                                on=[*KEY_COLS, "_col", "_eff"], how="inner")
-                    .dropDuplicates([*KEY_COLS, "_col"]))
-    pivoted = (resolved.groupBy(*KEY_COLS)
-               .pivot("_col", payload)
-               .agg(F.first("_val").alias("v"),
-                    F.count(F.lit(1)).alias("n")))
-
-    # pivoted carries the winning payload VALUES (unlike the (key,
-    # scalar) winner sets) — it must never broadcast; this join shuffles
-    out = top.join(pivoted, on=list(KEY_COLS), how="left")
     if origin is not None:
         out = out.join(origin, on=list(KEY_COLS), how="left")
     else:
         out = (out.withColumn("base_repo_m", F.lit(None).cast("string"))
                .withColumn("base_path_m", F.lit(None).cast("string")))
+
+    neg1 = F.lit(-1).cast(ord_type)
+    bar = F.coalesce(F.col("_bar"),
+                     F.struct(neg1.alias("_pos"), neg1.alias("_ord")))
+
+    def resolved(c: str) -> F.Column:
+        w = F.col(f"_w_{c}")
+        return w.isNotNull() & (F.struct(w["_pos"].alias("_pos"),
+                                         w["_ord"].alias("_ord")) >= bar)
+
     resolved_csv = F.array_join(F.filter(F.array(*[
-        F.when(F.coalesce(F.col(f"{c}_n"), F.lit(0)) >= 1, F.lit(c))
-        for c in payload]), lambda x: x.isNotNull()), ",")
-    # a patch = some payload column did NOT resolve within the batch —
+        F.when(resolved(c), F.lit(c)) for c in payload]),
+        lambda x: x.isNotNull()), ",")
+    # a patch = some payload column did NOT resolve within this batch —
     # never inferred from barrier presence (a dead generation's barrier
     # must not turn a partial move-in into a full image of NULLs)
     unresolved_any = None
     for c in payload:
-        miss = F.coalesce(F.col(f"{c}_n"), F.lit(0)) == 0
+        miss = ~resolved(c)
         unresolved_any = miss if unresolved_any is None \
             else (unresolved_any | miss)
-    is_patch = (F.col("op") != "D") & unresolved_any
+    is_patch = (F.col("_top")["op"] != "D") & unresolved_any
     out = out.select(
-        *KEY_COLS, "op",
-        *[F.col(f"{c}_v").alias(c) for c in payload],
+        *KEY_COLS, F.col("_top")["op"].alias("op"),
+        *[F.when(resolved(c), F.col(f"_w_{c}")["v"]).alias(c)
+          for c in payload],
         F.when(is_patch, resolved_csv)
         .otherwise(F.lit(None).cast("string")).alias("present_cols"),
         # the chain-origin key: MERGE inherits unresolved columns from
@@ -750,9 +714,11 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
         # resolved)
         F.when(is_patch, F.col("base_repo_m")).alias("base_repo"),
         F.when(is_patch, F.col("base_path_m")).alias("base_path"),
-        *ORDER_COLS, "gtid", "ts_sec")
-    # no cached decode to release any more (see the checkpoint note
-    # above); kept for API compatibility with release_minimal callers
+        *[F.col("_top")[c].alias(c) for c in ORDER_COLS],
+        F.col("_top")["gtid"].alias("gtid"),
+        F.col("_top")["ts_sec"].alias("ts_sec"))
+    # no cached decode to release (single-pass; see above); kept for API
+    # compatibility with release_minimal callers
     out._persisted_source = None
     return out
 
