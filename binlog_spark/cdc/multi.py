@@ -576,8 +576,9 @@ def replay_generic(spark: SparkSession, dump_dir: str, lake_root: str, *,
     cdf_all = spans_df(spark, all_chunks)
     # byte-derived width for the registry scan too: the lean TABLE_MAP
     # hop is so cheap that near-empty mapInArrow tasks dominate it
-    from ..decoder.chunks import decode_parallelism
-    reg_parts = decode_parallelism(spark, all_chunks)
+    from ..decoder.chunks import GENERIC_SPAN_TARGET, decode_parallelism
+    reg_parts = decode_parallelism(spark, all_chunks,
+                                   target=GENERIC_SPAN_TARGET)
     if reg_parts:
         cdf_all = cdf_all.repartition(reg_parts)
     registry = scan_table_registry(spark, cdf_all)
@@ -595,8 +596,10 @@ def replay_generic(spark: SparkSession, dump_dir: str, lake_root: str, *,
         else:
             bw = broadcast_winners
         if partitions is None:
-            from ..decoder.chunks import decode_parallelism
-            parts = decode_parallelism(spark, spans)
+            from ..decoder.chunks import (GENERIC_SPAN_TARGET,
+                                          decode_parallelism)
+            parts = decode_parallelism(spark, spans,
+                                       target=GENERIC_SPAN_TARGET)
         else:
             parts = partitions
         events = decode_changes_vals(cdf, partitions=parts)

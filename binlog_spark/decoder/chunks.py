@@ -152,8 +152,16 @@ def spans_df(spark: SparkSession, spans: list[tuple]) -> DataFrame:
 #: 0.2-0.45 CPU-s each) stays small next to the decode work
 DECODE_SPAN_TARGET = 4 << 20
 
+#: per-task byte target for the GENERIC (arbitrary-schema) decoder: its
+#: compiled per-layout readers run ~5-10× more CPU per byte than the
+#: vectorized canonical kernel, so the same task granularity leaves a
+#: multi-MB batch decoding serially while the per-task runner cost is
+#: still amortized ~3× over
+GENERIC_SPAN_TARGET = 1 << 20
 
-def decode_parallelism(spark: SparkSession, spans: list[tuple]) -> int | None:
+
+def decode_parallelism(spark: SparkSession, spans: list[tuple],
+                       target: int = DECODE_SPAN_TARGET) -> int | None:
     """Byte-derived decode partition count for a batch of chunk spans.
 
     With no explicit partitioning a LocalRelation of spans spreads over
@@ -162,9 +170,11 @@ def decode_parallelism(spark: SparkSession, spans: list[tuple]) -> int | None:
     reads the decoded checkpoint inherits that width.  Scale the task
     count with input bytes instead; ``None`` (= keep the default spread)
     once the byte-derived count reaches the default parallelism, so
-    large batches are untouched."""
+    large batches are untouched.  ``target``: bytes per task, matched to
+    the decoder's per-byte cost (GENERIC_SPAN_TARGET for the generic
+    path)."""
     total = sum(int(s[3]) for s in spans)
-    k = max(1, total // DECODE_SPAN_TARGET)
+    k = max(1, total // target)
     dp = spark.sparkContext.defaultParallelism
     if k >= dp:
         return None
