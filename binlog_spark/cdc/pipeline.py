@@ -128,27 +128,53 @@ def last_writer_wins(events: DataFrame, *, salt_buckets: int = 0,
                      wide_order: bool = False) -> DataFrame:
     """Reduce the change stream to one winning record per (repo, path).
 
-    Strategy (late materialization): the winner *order* per key is found
-    with ``max(_ord)`` over a packed BIGINT — a codegen'd HashAggregate
-    with map-side combine and a tiny shuffle of (key, long) — and the full
-    payload is then selected by joining the winners back against the
-    stream.  Any payload-carrying max/max_by has a var-length aggregation
-    buffer, which Spark can only SortAggregate: that would sort the whole
-    decoded stream twice and shuffle every payload byte.
+    Two plans, chosen by whether a cheap key-only probe exists:
 
-    ``key_events``: optionally a cheap key-only decode of the same chunks
-    (decoder.kernel.decode_keys) for the winner search, so the full decode
-    runs once instead of twice.  ``broadcast_winners``: the winner set is
-    (key, long) — broadcast by default so the payload stream is *never
-    shuffled*; disable for batches whose key count exceeds driver memory
-    (the join then shuffles, still cheaper than the double sort).
+    With ``key_events`` (a key-only decode of the same chunks,
+    decoder.kernel.decode_keys — late materialization): the winner
+    *order* per key is found with ``max(_ord)`` over the probe — a
+    codegen'd HashAggregate with map-side combine and a tiny shuffle of
+    (key, long) — and the full payload is selected by joining the
+    winners back against the stream, so losing payload rows are dropped
+    by a hash probe without ever aggregating or re-shuffling them.
+    This is the right plan for replica-storm delivery (many identical
+    copies of each event): the global winner set is tiny while per-task
+    partial winners would be ~one per replica.
+    ``broadcast_winners``: the winner set is (key, long) — broadcast by
+    default so the payload stream is *never shuffled*; disable for
+    batches whose key count exceeds driver memory (the join then
+    shuffles).
 
-    Hot keys need no salting here: map-side combine collapses a hot key's
-    updates to one (key, long) per task.  ``salt_buckets`` is kept for the
-    pathological case and applies a two-stage max on the packed order.
+    Without ``key_events``: the winner search would otherwise run on
+    the FULL decode subtree — executing the expensive decode twice.  A
+    single argmax pass is strictly better there:
+    ``max(struct(_ord, row))`` per key is the latest row (struct
+    comparison is lexicographic and the packed ``_ord`` — distinct per
+    event; only identical redelivered replicas tie — leads the struct),
+    decoding once, with map-side partial aggregation discarding losing
+    rows before the shuffle.  The old join plan's dropDuplicates
+    shuffled the same winner rows, so no extra payload bytes move.
+
+    Hot keys need no salting in either plan: map-side combine collapses
+    a hot key's updates to one row per task.  ``salt_buckets`` is kept
+    for the pathological case and applies a two-stage max.
     """
-    keys = key_events if key_events is not None else events
-    keys = keys.withColumn("_ord", pack_ord(wide=wide_order))
+    if key_events is None:
+        full = events.withColumn("_ord", pack_ord(wide=wide_order))
+        out_fields = [c for c in _OUT_COLS if c not in KEY_COLS]
+        w = F.struct(F.col("_ord"), *[F.col(c) for c in out_fields])
+        if salt_buckets > 0:
+            salted = full.withColumn(
+                "_salt", F.pmod(F.xxhash64("log_pos", "seq_in_tx"),
+                                F.lit(salt_buckets)))
+            stage1 = (salted.groupBy(*KEY_COLS, "_salt")
+                      .agg(F.max(w).alias("_w")))
+            agg = stage1.groupBy(*KEY_COLS).agg(F.max("_w").alias("_w"))
+        else:
+            agg = full.groupBy(*KEY_COLS).agg(F.max(w).alias("_w"))
+        return agg.select(
+            *KEY_COLS, *[F.col("_w")[c].alias(c) for c in out_fields])
+    keys = key_events.withColumn("_ord", pack_ord(wide=wide_order))
     if salt_buckets > 0:
         salted = keys.withColumn(
             "_salt", F.pmod(F.xxhash64("log_pos", "seq_in_tx"),
