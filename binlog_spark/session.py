@@ -64,6 +64,13 @@ def get_spark(app: str = "binlog-spark", cores: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # PySpark 4 captures a user call site on every DataFrame API call
+        # to enrich error messages: a Python stack walk plus one py4j
+        # round-trip EACH (pyspark.errors.utils._capture_call_site) —
+        # profiled at ~1.2 s of driver time on one cold replay query
+        # (~400 wrapped calls × ~3 ms, plus a one-time IPython import it
+        # drags in).  Pure diagnostics; results are unaffected.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
