@@ -476,29 +476,38 @@ def _minimal_core(good: DataFrame, payload: list[str], value_of,
         F.lag("m_ord").over(
             Window.partitionBy("f_r", "f_p").orderBy("m_ord")),
         F.lit(-1)))
-    # truncate the logical plan at the edge set (small: one row per
-    # key-moving update).  The closure loop below references it 7×, and
-    # each reference would otherwise embed the whole decode subtree —
-    # Catalyst ANALYSIS of that tree was costing multiples of the
-    # execution itself (driver-side, unparallelizable).  Lazy local
-    # checkpoint: shallow plan now, blocks materialize with the first
-    # action and are reclaimed by the ContextCleaner when the batch's
-    # DataFrames go out of scope.  Tradeoff at cluster scale: local
-    # checkpoints are not recomputable after executor loss — a lost
-    # block fails the batch, which the idempotent replay/merge retries;
-    # acceptable for per-batch frames, never used for long-lived state.
-    edges = edges.localCheckpoint(eager=False)
-    # probe the edge set size (materializes the edge checkpoint off the
-    # cheap key-only pass).  Almost every real batch lands in the first
-    # two arms: zero key-moves (skip the lineage machinery outright) or
-    # a small edge set (exact driver-side closure, no join rounds, no
-    # hop cap).  count, not limit+collect: a limit executes in
-    # sequential scale-up waves (1, 4, 16, … partitions) that serialize
-    # the materialization; count is one fully-parallel job.
+    # probe the edge set with ONE action.  Almost every real batch lands
+    # in the first two arms: zero key-moves (skip the lineage machinery
+    # outright) or a small edge set (exact driver-side closure, no join
+    # rounds, no hop cap) — and on those arms the edge set is referenced
+    # exactly once more, so the former count-then-collect on a lazy
+    # localCheckpoint paid an extra job plus the checkpoint's AQE
+    # finalization (profiled at 0.2-0.8 s of driver time per table, per
+    # batch) for nothing.  collect directly and count the rows; the
+    # pathological over-cap edge set is bounded by
+    # spark.driver.maxResultSize (its rows are a few dozen bytes) and is
+    # discarded immediately; a batch so large that even the collect is
+    # refused routes to the distributed arm via the size error.
     if driver_closure_cap is None:
         driver_closure_cap = DRIVER_CLOSURE_CAP
-    n_edges = edges.count()
-    probe = edges.collect() if 0 < n_edges <= driver_closure_cap else []
+    try:
+        probe = edges.collect()
+        n_edges = len(probe)
+    except Exception as e:  # result-size refusal only; real errors re-raise
+        if "maxResultSize" not in str(e):
+            raise
+        probe, n_edges = [], driver_closure_cap + 1
+    if n_edges > driver_closure_cap:
+        probe = []
+        # the distributed composition below references the edge set once
+        # per hop round: truncate the plan so each reference doesn't
+        # re-embed (and re-analyze) the whole decode subtree.  Lazy local
+        # checkpoint: blocks materialize with the first action and are
+        # reclaimed by the ContextCleaner when the batch's DataFrames go
+        # out of scope; not recomputable after executor loss — a lost
+        # block fails the batch, which the idempotent replay/merge
+        # retries.
+        edges = edges.localCheckpoint(eager=False)
     spark = good.sparkSession
     if n_edges == 0:
         # move-free batch: no remap, nothing dead, no origin keys —
