@@ -423,7 +423,7 @@ STAGE_TARGET_BYTES = 128 << 20
 
 
 def stage_events(events: DataFrame, staging: str,
-                 est_bytes: int | None = None) -> None:
+                 est_bytes: int | None = None) -> set:
     """Write one decoded batch to parquet partitioned by (schema, table)
     with a BOUNDED file count.
 
@@ -436,16 +436,31 @@ def stage_events(events: DataFrame, staging: str,
     REBALANCE-before-write pattern, guide §6), so file count scales with
     data volume, not with scan parallelism.  The salt is derived from
     (log_pos, seq_in_tx) — deterministic under task retry (guide §2.5),
-    unlike a rand()-based key."""
+    unlike a rand()-based key.
+
+    Returns the set of (schema, table) pairs that staged MINIMAL
+    (partial) row images in this batch, observed DURING the write — the
+    per-table apply routes those through the per-column reduction, and
+    collecting the set here saves it a separate scan+collect job over
+    the staged parquet (one per batch)."""
+    from pyspark.sql import Observation
+
     if est_bytes is None:
         width = max(1, events.rdd.getNumPartitions() // 16)
     else:
         width = max(1, int(est_bytes) // STAGE_TARGET_BYTES)
     salt = F.pmod(F.xxhash64("log_pos", "seq_in_tx"), F.lit(width))
+    obs = Observation(f"stage-{os.path.basename(staging)}")
+    partial = (F.col("after_present").isNotNull()
+               | F.col("before_present").isNotNull())
     (events.filter(F.col("crc_ok"))
+     .observe(obs, F.collect_set(F.when(partial, F.struct(
+         "table_schema", "table_name"))).alias("partials"))
      .repartition(F.col("table_schema"), F.col("table_name"), salt)
      .write.partitionBy("table_schema", "table_name")
      .mode("overwrite").parquet(staging))
+    return {(r["table_schema"], r["table_name"])
+            for r in obs.get["partials"]}
 
 
 def table_root(lake_root: str, schema: str, table: str) -> str:
@@ -474,27 +489,31 @@ def apply_staged_batch(spark: SparkSession, staging: str, registry: dict,
                        tables: dict, bid: str, *,
                        offsets: dict | None = None,
                        broadcast_winners: bool = True,
-                       wide_order: bool = False) -> None:
+                       wide_order: bool = False,
+                       partial_tables: set | None = None) -> None:
     """Merge one staged batch (parquet partitioned by schema/table) into
     every table — shared by batch replay and the streaming tail.
 
     Tables with MINIMAL (partial) row images in this batch route to the
     per-column reduction; FULL tables keep the cheap row-level winner
-    search.  One column-pruned scan of the staged parquet's two presence
-    strings decides — not a per-table probe job."""
+    search.  ``partial_tables``: the (schema, table) set stage_events
+    observed during the staging write; when None (a caller that staged
+    out-of-band), one column-pruned scan of the staged parquet's two
+    presence strings decides — not a per-table probe job."""
     # a batch of only statement/DDL transactions (or all-bad-CRC rows)
     # stages ZERO row events: the partitioned dir holds no part files
     # and parquet can't infer a schema from it — every table then takes
     # the empty-merge branch below, which still commits the batch id
-    has_rows = os.path.isdir(staging) and any(
-        n.startswith("table_schema=") for n in os.listdir(staging))
-    partial_tables = set() if not has_rows else {
-        (r.table_schema, r.table_name)
-        for r in (spark.read.parquet(staging)
-                  .where(F.col("after_present").isNotNull()
-                         | F.col("before_present").isNotNull())
-                  .select("table_schema", "table_name")
-                  .distinct().collect())}
+    if partial_tables is None:
+        has_rows = os.path.isdir(staging) and any(
+            n.startswith("table_schema=") for n in os.listdir(staging))
+        partial_tables = set() if not has_rows else {
+            (r.table_schema, r.table_name)
+            for r in (spark.read.parquet(staging)
+                      .where(F.col("after_present").isNotNull()
+                             | F.col("before_present").isNotNull())
+                      .select("table_schema", "table_name")
+                      .distinct().collect())}
 
     def apply_table(item) -> None:
         (sch, tbl), t = item
@@ -606,14 +625,15 @@ def replay_generic(spark: SparkSession, dump_dir: str, lake_root: str, *,
         staging = os.path.join(lake_root, f".batch-{bid}")
         # ONE decode execution per batch: stage partitioned by table so
         # every per-table reduction reads only its own partition dirs
-        stage_events(events, staging,
-                     est_bytes=sum(int(s[3]) for s in spans))
+        partials = stage_events(events, staging,
+                                est_bytes=sum(int(s[3]) for s in spans))
         last_file = max(s[1] for s in spans)
         last_end = max(s[2] + s[3] for s in spans if s[1] == last_file)
         apply_staged_batch(spark, staging, registry, tables, bid,
                            offsets={"log_file": last_file,
                                     "next_pos": int(last_end)},
                            broadcast_winners=bw,
-                           wide_order=wide_order)
+                           wide_order=wide_order,
+                           partial_tables=partials)
         shutil.rmtree(staging, ignore_errors=True)
     return tables

@@ -164,10 +164,11 @@ def stream_apply_multi(spark: SparkSession, dump_dir: str, lake_root: str,
         staging = _os.path.join(lake_root, f".stream-batch-{batch_id}")
         from ..cdc.multi import stage_events
         events = decode_changes_vals(batch_df)
-        stage_events(events, staging)
+        partials = stage_events(events, staging)
         apply_staged_batch(spark, staging, registry, tables, bid,
                            broadcast_winners=broadcast_winners,
-                           wide_order=wide_order)
+                           wide_order=wide_order,
+                           partial_tables=partials)
         _shutil.rmtree(staging, ignore_errors=True)
         if on_batch is not None:
             on_batch(batch_id, {t: tbl.current_snapshot_id()
