@@ -179,6 +179,42 @@ def scan_table_registry(spark: SparkSession, chunks: DataFrame) -> dict:
         chunks.mapInArrow(_scan_spans, _REGISTRY_SCHEMA).collect())
 
 
+#: dumps at or below this many bytes have their registry scanned on the
+#: driver (a sequential header hop, one chunk in memory at a time)
+#: instead of via a Spark job — at small-batch sizes the job's planning
+#: plus the Python-runner launch cost multiples of the scan itself.
+#: Data-size derived, so a 100 TB dump still takes the distributed scan.
+REGISTRY_DRIVER_MAX_BYTES = 64 << 20
+
+
+def scan_table_registry_spans(spark: SparkSession, spans: list) -> dict:
+    """Registry discovery over a driver-side span list: small dumps are
+    header-hopped locally (bounded reads — one chunk's bytes at a time);
+    larger dumps route to the distributed scan with byte-derived task
+    sizing."""
+    total = sum(int(s[3]) for s in spans)
+    if total <= REGISTRY_DRIVER_MAX_BYTES:
+        from types import SimpleNamespace
+
+        def gen():
+            for dump_dir, log_file, off, ln in spans:
+                with open(os.path.join(dump_dir, log_file), "rb") as f:
+                    f.seek(off)
+                    yield f.read(int(ln)), off == 0
+
+        return _fold_registry(
+            SimpleNamespace(table_schema=t[0], table_name=t[1],
+                            columns_json=t[2], pk_json=t[3],
+                            types_json=t[4], ncol=t[5])
+            for t in _registry_rows(gen()).values())
+    from ..decoder.chunks import GENERIC_SPAN_TARGET, decode_parallelism
+    cdf = spans_df(spark, spans)
+    parts = decode_parallelism(spark, spans, target=GENERIC_SPAN_TARGET)
+    if parts:
+        cdf = cdf.repartition(parts)
+    return scan_table_registry(spark, cdf)
+
+
 def scan_table_registry_blobs(blobs: DataFrame) -> dict:
     """Registry discovery over a STREAMING micro-batch of raw file blobs
     (columns chunk_off, data): a small distributed frame scan — rows are
@@ -592,15 +628,9 @@ def replay_generic(spark: SparkSession, dump_dir: str, lake_root: str, *,
         except (OSError, ValueError, KeyError):
             wide_order = False
     all_chunks = [tuple(r) for r in chunks_df(spark, dump_dir).collect()]
-    cdf_all = spans_df(spark, all_chunks)
-    # byte-derived width for the registry scan too: the lean TABLE_MAP
-    # hop is so cheap that near-empty mapInArrow tasks dominate it
-    from ..decoder.chunks import GENERIC_SPAN_TARGET, decode_parallelism
-    reg_parts = decode_parallelism(spark, all_chunks,
-                                   target=GENERIC_SPAN_TARGET)
-    if reg_parts:
-        cdf_all = cdf_all.repartition(reg_parts)
-    registry = scan_table_registry(spark, cdf_all)
+    # small dumps: header-hop the registry on the driver (no Spark job);
+    # larger dumps: distributed scan with byte-derived task sizing
+    registry = scan_table_registry_spans(spark, all_chunks)
     tables = ensure_tables(lake_root, registry, n_buckets=n_buckets)
 
     for i, spans in enumerate(plan_batches(all_chunks, chunks_per_batch)):
