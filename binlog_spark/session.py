@@ -64,6 +64,10 @@ def get_spark(app: str = "binlog-spark", cores: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # zstd lake/staging files: −38% bytes vs snappy on the CDC state
+        # table (130 → 80 MB at sf0.1) at the same measured write wall —
+        # guide §6; results are format-identical
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # PySpark 4 captures a user call site on every DataFrame API call
         # to enrich error messages: a Python stack walk plus one py4j
         # round-trip EACH (pyspark.errors.utils._capture_call_site) —
